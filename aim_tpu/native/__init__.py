@@ -1,0 +1,259 @@
+"""ctypes bindings to the native host runtime (oracle.cpp).
+
+The shared library is built lazily with g++ on first use and cached next to
+the source (keyed by source mtime).  Everything here also has a pure-Python
+fallback in aim_tpu.golden for environments without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "oracle.cpp")
+_SO = os.path.join(_HERE, "_liboracle.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+_i8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_chp = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")  # char*
+
+
+def _build() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    tmp = _SO + ".tmp"
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
+    return _SO
+
+
+def load():
+    """Load (building if needed) the native library. Raises on failure."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        lib = ctypes.CDLL(_build())
+
+        lib.aim_parse_pairs.restype = ctypes.c_long
+        lib.aim_parse_pairs.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            _i8p, _i8p, _i32p, _i32p,
+        ]
+        lib.aim_nw_align.restype = None
+        lib.aim_nw_align.argtypes = [
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _i32p, _chp, _i32p, _i32p,
+        ]
+        lib.aim_nw_traceback_bits.restype = None
+        lib.aim_nw_traceback_bits.argtypes = [
+            _i8p, ctypes.c_long, ctypes.c_long, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, _chp, _i32p, _i32p,
+        ]
+        lib.aim_swg_align.restype = None
+        lib.aim_swg_align.argtypes = [
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _chp, _i32p, _i32p,
+        ]
+        lib.aim_swg_traceback_bits.restype = None
+        lib.aim_swg_traceback_bits.argtypes = [
+            _i8p, ctypes.c_long, ctypes.c_long, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, _chp, _i32p, _i32p,
+        ]
+        lib.aim_wfa_align.restype = None
+        lib.aim_wfa_align.argtypes = [
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _chp, _i32p, _i32p,
+        ]
+        lib.aim_wfa_backtrace_batch.restype = None
+        lib.aim_wfa_backtrace_batch.argtypes = [
+            _i16p, _i16p, _i16p, _i32p, _i32p, _i8p, _i32p,
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _chp, _i32p, _i32p,
+        ]
+        lib.aim_emit_output.restype = ctypes.c_long
+        lib.aim_emit_output.argtypes = [
+            ctypes.c_char_p, _i32p, _i32p, _chp, _i32p, _i32p,
+            ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ]
+        _LIB = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# numpy-facing wrappers
+# ---------------------------------------------------------------------------
+
+def parse_pairs(path: str, max_pairs: int, read_size: int):
+    """Parse a '>pattern\\n<text\\n' pair file (ref: host.c get_reads).
+
+    Returns (patterns [n,R] u8, texts [n,R] u8, plens [n] i32, tlens [n] i32).
+    Raises ValueError if a sequence exceeds read_size.
+    """
+    lib = load()
+    pats = np.zeros((max_pairs, read_size), np.uint8)
+    txts = np.zeros((max_pairs, read_size), np.uint8)
+    plens = np.zeros(max_pairs, np.int32)
+    tlens = np.zeros(max_pairs, np.int32)
+    n = lib.aim_parse_pairs(path.encode(), max_pairs, read_size,
+                            pats, txts, plens, tlens)
+    if n == -1000000000:
+        raise FileNotFoundError(path)
+    if n < 0:
+        # Mirrors the reference's fatal "READ LENGTH less than length of the
+        # input reads" (ref: host.c:119-123).
+        raise ValueError(
+            f"read longer than READ_SIZE={read_size} at line {-n} of {path}")
+    return pats[:n], txts[:n], plens[:n], tlens[:n]
+
+
+def _prep(pats, txts, plens, tlens):
+    return (np.ascontiguousarray(pats, np.uint8),
+            np.ascontiguousarray(txts, np.uint8),
+            np.ascontiguousarray(plens, np.int32),
+            np.ascontiguousarray(tlens, np.int32))
+
+
+def nw_align(pats, txts, plens, tlens, *, mismatch, gap_i, gap_d, backtrace):
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    max_ops = 2 * read_size
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_nw_align(pats, txts, plens, tlens, n, read_size,
+                     mismatch, gap_i, gap_d, int(backtrace),
+                     scores, ops, begin, end)
+    return scores, ops, begin, end
+
+
+def swg_align(pats, txts, plens, tlens, *, match, mismatch, gap_o, gap_e,
+              max_score, cell_width, backtrace):
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    max_ops = 2 * read_size
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_swg_align(pats, txts, plens, tlens, n, read_size,
+                      match, mismatch, gap_o, gap_e, max_score, cell_width,
+                      int(backtrace), scores, ops, begin, end)
+    return scores, ops, begin, end
+
+
+def wfa_align(pats, txts, plens, tlens, *, mismatch, gap_o, gap_e, max_score,
+              adaptive, backtrace):
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    max_ops = 2 * read_size
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_wfa_align(pats, txts, plens, tlens, n, read_size,
+                      mismatch, gap_o, gap_e, max_score, int(adaptive),
+                      int(backtrace), scores, ops, begin, end)
+    return scores, ops, begin, end
+
+
+def nw_traceback_bits(bits, plens, tlens, max_ops):
+    """Walk device-produced NW direction bits [n, H, W] u8 into ops buffers."""
+    lib = load()
+    bits = np.ascontiguousarray(bits, np.uint8)
+    n, H, W = bits.shape
+    plens = np.ascontiguousarray(plens, np.int32)
+    tlens = np.ascontiguousarray(tlens, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_nw_traceback_bits(bits, H, W, plens, tlens, n, max_ops,
+                              ops, begin, end)
+    return ops, begin, end
+
+
+def swg_traceback_bits(bits, plens, tlens, max_ops):
+    lib = load()
+    bits = np.ascontiguousarray(bits, np.uint8)
+    n, H, W = bits.shape
+    plens = np.ascontiguousarray(plens, np.int32)
+    tlens = np.ascontiguousarray(tlens, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_swg_traceback_bits(bits, H, W, plens, tlens, n, max_ops,
+                               ops, begin, end)
+    return ops, begin, end
+
+
+def wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags, scores,
+                        pats, txts, plens, tlens, *, mismatch, gap_o, gap_e,
+                        max_score):
+    """Walk device-produced dense WFA histories into ops buffers."""
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    max_ops = 2 * read_size
+    hist_m = np.ascontiguousarray(hist_m, np.int16)
+    hist_i = np.ascontiguousarray(hist_i, np.int16)
+    hist_d = np.ascontiguousarray(hist_d, np.int16)
+    klo = np.ascontiguousarray(klo, np.int32)
+    khi = np.ascontiguousarray(khi, np.int32)
+    flags = np.ascontiguousarray(flags, np.uint8)
+    scores = np.ascontiguousarray(scores, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags,
+                                scores, pats, txts, plens, tlens, n,
+                                read_size, mismatch, gap_o, gap_e, max_score,
+                                ops, begin, end)
+    return ops, begin, end
+
+
+def emit_output(path, idx, scores, ops, begin, end, backtrace):
+    """Write the reference-format output file (ref: host.c:332-353)."""
+    lib = load()
+    idx = np.ascontiguousarray(idx, np.int32)
+    scores = np.ascontiguousarray(scores, np.int32)
+    if ops is None:
+        ops = np.zeros((len(scores), 1), np.uint8)
+        begin = np.zeros(len(scores), np.int32)
+        end = np.zeros(len(scores), np.int32)
+    ops = np.ascontiguousarray(ops, np.uint8)
+    begin = np.ascontiguousarray(begin, np.int32)
+    end = np.ascontiguousarray(end, np.int32)
+    max_ops = ops.shape[1]
+    n = len(scores)
+    r = lib.aim_emit_output(path.encode(), idx, scores, ops, begin, end, n,
+                            max_ops, int(backtrace))
+    if r < 0:
+        raise IOError(f"cannot write {path}")
+    return r

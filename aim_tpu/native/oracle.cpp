@@ -1,0 +1,782 @@
+// aim-tpu native host runtime.
+//
+// Fresh C++ implementation of the host-side tier of the framework:
+//   * pair-file parsing + packing  (role of get_reads, ref: WFA/DPU-MRAM/host/host.c:91-134)
+//   * exact-semantics scalar aligners used as the test ORACLE for the TPU
+//     kernels (role of the DPU kernels, ref: NW/SWG/WFA */dpu/*.c)
+//   * batch CIGAR traceback walkers over device-produced direction bits /
+//     wavefront histories (the sequential, branchy tail of each alignment
+//     that is host work in this design)
+//   * run-length CIGAR emission byte-identical to the reference host
+//     (ref: host.c:69-89, 332-353).
+//
+// "Exact semantics" includes the reference's 1-D DP-buffer layout
+// dp[(text_len+1)*h + v] with v ranging to pattern_len, which aliases
+// tape slots whenever pattern_len > text_len (ref: NW/DPU-WRAM/dpu/nw.c:139-145,
+// SWG/DPU-WRAM/dpu/swg.c:151-162).  The oracle reproduces it by simulating
+// the flat tape in program order, so its scores/CIGARs match the reference
+// hardware output on every input, including those edge cases.
+//
+// NOTE: independent implementation — algorithms re-derived from the
+// reference's observable behavior; no code copied.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <string>
+#include <algorithm>
+
+// ---------------------------------------------------------------------------
+// Common helpers
+// ---------------------------------------------------------------------------
+
+static inline long idx2(long i, long j, long stride) { return i * stride + j; }
+
+// ---------------------------------------------------------------------------
+// Pair-file parser
+//
+// Format: two lines per pair, '>' + pattern, '<' + text
+// (ref: host.c get_reads; Datasets/sample-l100-e1-40K).
+// Packs sequences into [max_pairs, read_size] uint8 row-major buffers
+// (zero-filled tails) and length arrays.  Returns the number of pairs
+// parsed, or -(1+line_index) if a sequence exceeds read_size.
+// ---------------------------------------------------------------------------
+
+extern "C" long aim_parse_pairs(const char *path, long max_pairs, int read_size,
+                     uint8_t *patterns, uint8_t *texts,
+                     int32_t *pattern_lens, int32_t *text_lens) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  // Slurp the file; datasets are tens of MB, host RAM is plentiful.
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf((size_t)fsize);
+  if (fsize > 0 && std::fread(buf.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+    std::fclose(f);
+    return -1000000001L;
+  }
+  std::fclose(f);
+
+  long pos = 0, n = 0, line_no = 0;
+  while (n < max_pairs && pos < fsize) {
+    // Pattern line.
+    long start1 = pos;
+    while (pos < fsize && buf[pos] != '\n') ++pos;
+    long len1 = pos - start1 + (pos < fsize ? 1 : 0);  // getline-style length
+    if (pos < fsize) ++pos;
+    if (len1 <= 0) break;
+    ++line_no;
+    // Text line.
+    if (pos >= fsize) break;
+    long start2 = pos;
+    while (pos < fsize && buf[pos] != '\n') ++pos;
+    long len2 = pos - start2 + (pos < fsize ? 1 : 0);
+    if (pos < fsize) ++pos;
+    ++line_no;
+    // Strip sentinel char + newline: length - 2 (ref: host.c:112-117).
+    long plen = len1 - 2;
+    long tlen = len2 - 2;
+    if (plen > read_size || tlen > read_size) return -(line_no);
+    if (plen < 0) plen = 0;
+    if (tlen < 0) tlen = 0;
+    std::memset(patterns + n * read_size, 0, (size_t)read_size);
+    std::memset(texts + n * read_size, 0, (size_t)read_size);
+    std::memcpy(patterns + n * read_size, buf.data() + start1 + 1, (size_t)plen);
+    std::memcpy(texts + n * read_size, buf.data() + start2 + 1, (size_t)tlen);
+    pattern_lens[n] = (int32_t)plen;
+    text_lens[n] = (int32_t)tlen;
+    ++n;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// NW (edit distance, linear gap) oracle — exact flat-tape semantics.
+//
+// cell type int16 (NW_W16, ref: NW/*/common/common.h:87).
+// Direction-bit codes shared with the TPU kernel + walker:
+//   0 = 'D' (v-1), 1 = 'I' (h-1), 2 = diag 'M', 3 = diag 'X'.
+// Tie-break priority D -> I -> diag, X iff cell == diag + MISMATCH
+// (ref: NW/DPU-WRAM/dpu/nw.c:76-94).
+// ---------------------------------------------------------------------------
+
+typedef int16_t nw_cell_t;
+
+static void nw_pair(const uint8_t *pat, const uint8_t *txt, int plen, int tlen,
+                    int mismatch, int gap_i, int gap_d, int backtrace,
+                    std::vector<nw_cell_t> &tape, int32_t *score_out,
+                    char *ops, int32_t *begin_out, int32_t *end_out,
+                    int max_ops) {
+  const long nc = tlen + 1;  // tape row stride (ref nw.c num_cols)
+  // Tape covers indices up to nc*tlen + plen.
+  // (tape is sized by the caller to (R+1)*(R+1)+R and reused.)
+  tape[0] = 0;
+  {
+    int cell = 0;
+    for (int v = 1; v <= plen; ++v) { cell += gap_d; tape[v] = (nw_cell_t)cell; }
+    cell = 0;
+    for (int h = 1; h <= tlen; ++h) { cell += gap_i; tape[idx2(h, 0, nc)] = (nw_cell_t)cell; }
+  }
+  nw_cell_t score = 0;
+  for (int h = 1; h <= tlen; ++h) {
+    const uint8_t tc = txt[h - 1];
+    for (int v = 1; v <= plen; ++v) {
+      nw_cell_t del = (nw_cell_t)(tape[idx2(h, v - 1, nc)] + gap_d);
+      nw_cell_t ins = (nw_cell_t)(tape[idx2(h - 1, v, nc)] + gap_i);
+      nw_cell_t dia = (nw_cell_t)(tape[idx2(h - 1, v - 1, nc)] +
+                                  (pat[v - 1] == tc ? 0 : mismatch));
+      nw_cell_t best = std::min(dia, std::min(ins, del));
+      tape[idx2(h, v, nc)] = best;
+      score = best;
+    }
+  }
+  *score_out = (int32_t)score;
+  int max_operations = plen + tlen;
+  int begin = max_operations - 1, end = max_operations;
+  if (backtrace) {
+    // Value-based walk over the FINAL tape (ref: nw.c:67-107).
+    int op = end - 1;
+    int h = tlen, v = plen;
+    while (h > 0 && v > 0) {
+      nw_cell_t cur = tape[idx2(h, v, nc)];
+      if (cur == (nw_cell_t)(tape[idx2(h, v - 1, nc)] + gap_d)) {
+        ops[op--] = 'D'; --v;
+      } else if (cur == (nw_cell_t)(tape[idx2(h - 1, v, nc)] + gap_i)) {
+        ops[op--] = 'I'; --h;
+      } else {
+        ops[op--] = (cur == (nw_cell_t)(tape[idx2(h - 1, v - 1, nc)] + mismatch))
+                        ? 'X' : 'M';
+        --h; --v;
+      }
+    }
+    while (h > 0) { ops[op--] = 'I'; --h; }
+    while (v > 0) { ops[op--] = 'D'; --v; }
+    begin = op + 1;
+  }
+  *begin_out = begin;
+  *end_out = end;
+  (void)max_ops;
+}
+
+extern "C" void aim_nw_align(const uint8_t *patterns, const uint8_t *texts,
+                  const int32_t *plens, const int32_t *tlens, long n,
+                  int read_size, int mismatch, int gap_i, int gap_d,
+                  int backtrace, int32_t *scores, char *ops,
+                  int32_t *begin_off, int32_t *end_off) {
+  const int max_ops = 2 * read_size;
+  std::vector<nw_cell_t> tape((size_t)(read_size + 1) * (read_size + 1) + read_size + 2);
+  for (long i = 0; i < n; ++i) {
+    char *o = ops + i * max_ops;
+    if (backtrace) std::memset(o, 'M', (size_t)max_ops);  // ref: nw.c:192
+    nw_pair(patterns + i * read_size, texts + i * read_size, plens[i], tlens[i],
+            mismatch, gap_i, gap_d, backtrace, tape, &scores[i], o,
+            &begin_off[i], &end_off[i], max_ops);
+  }
+}
+
+// Batch walker over device-produced NW direction bits.
+// bits layout: [n, h_stride rows, w_stride cols] uint8; row h, lane v.
+extern "C" void aim_nw_traceback_bits(const uint8_t *bits, long h_stride, long w_stride,
+                           const int32_t *plens, const int32_t *tlens, long n,
+                           int max_ops, char *ops, int32_t *begin_off,
+                           int32_t *end_off) {
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *b = bits + i * h_stride * w_stride;
+    char *o = ops + i * max_ops;
+    std::memset(o, 'M', (size_t)max_ops);
+    int plen = plens[i], tlen = tlens[i];
+    int max_operations = plen + tlen;
+    int op = max_operations - 1;
+    int h = tlen, v = plen;
+    while (h > 0 && v > 0) {
+      uint8_t code = b[h * w_stride + v];
+      switch (code & 3) {
+        case 0: o[op--] = 'D'; --v; break;
+        case 1: o[op--] = 'I'; --h; break;
+        case 2: o[op--] = 'M'; --h; --v; break;
+        default: o[op--] = 'X'; --h; --v; break;
+      }
+    }
+    while (h > 0) { o[op--] = 'I'; --h; }
+    while (v > 0) { o[op--] = 'D'; --v; }
+    begin_off[i] = op + 1;
+    end_off[i] = max_operations;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SWG (Gotoh affine-gap, global, minimizing) oracle — exact flat-tape
+// semantics with selectable cell width (int8 iff MAX_SCORE < 127 in the
+// short-read tier, ref: SWG/DPU-WRAM/common/common.h:71-75).
+//
+// Direction-bit codes shared with the TPU kernel + walker (per cell):
+//   bits 0..1: M-layer choice: 0 = enter D, 1 = enter I, 2 = diag 'M',
+//              3 = diag 'X'   (priority D -> I -> match -> mismatch,
+//              ref: SWG/DPU-WRAM/dpu/swg.c:79-98)
+//   bit 2: D was opened here (D == M(h,v-1) + GAP_O + GAP_E)
+//   bit 3: I was opened here (I == M(h-1,v) + GAP_O + GAP_E)
+// ---------------------------------------------------------------------------
+
+template <typename C>
+static void swg_pair(const uint8_t *pat, const uint8_t *txt, int plen, int tlen,
+                     int match, int mismatch, int gap_o, int gap_e,
+                     int max_score, int backtrace, std::vector<C> &m_tape,
+                     std::vector<C> &i_tape, std::vector<C> &d_tape,
+                     int32_t *score_out, char *ops, int32_t *begin_out,
+                     int32_t *end_out) {
+  const long nc = tlen + 1;
+  d_tape[0] = (C)max_score;  // MAX_SCORE doubles as the init sentinel
+  i_tape[0] = (C)max_score;  // (ref: swg.c:128-130)
+  m_tape[0] = 0;
+  for (int v = 1; v <= plen; ++v) {
+    d_tape[v] = (C)(gap_o + v * gap_e);
+    i_tape[v] = (C)max_score;
+    m_tape[v] = d_tape[v];
+  }
+  for (int h = 1; h <= tlen; ++h) {
+    long t = idx2(h, 0, nc);
+    d_tape[t] = (C)max_score;
+    i_tape[t] = (C)(gap_o + h * gap_e);
+    m_tape[t] = i_tape[t];
+  }
+  int score = 0;
+  for (int h = 1; h <= tlen; ++h) {
+    const uint8_t tc = txt[h - 1];
+    for (int v = 1; v <= plen; ++v) {
+      long t = idx2(h, v, nc), tu = t - 1, tl = t - nc, td = t - nc - 1;
+      C del_new = (C)(m_tape[tu] + gap_o + gap_e);
+      C del_ext = (C)(d_tape[tu] + gap_e);
+      C del = std::min(del_new, del_ext);
+      d_tape[t] = del;
+      C ins_new = (C)(m_tape[tl] + gap_o + gap_e);
+      C ins_ext = (C)(i_tape[tl] + gap_e);
+      C ins = std::min(ins_new, ins_ext);
+      i_tape[t] = ins;
+      C m_diag = (C)(m_tape[td] + (pat[v - 1] == tc ? match : mismatch));
+      C best = std::min(m_diag, std::min(ins, del));
+      m_tape[t] = best;
+      score = (int)best;  // sign-extended like the reference's int score
+    }
+  }
+  *score_out = score;
+  int max_operations = plen + tlen;
+  int begin = max_operations - 1, end = max_operations;
+  if (backtrace) {
+    // 3-layer automaton over the FINAL tapes (ref: swg.c:45-119).
+    int op = end - 1;
+    int h = tlen, v = plen;
+    int layer = 0;  // 0=M 1=I 2=D
+    while (h > 0 && v > 0) {
+      long t = idx2(h, v, nc);
+      if (layer == 2) {
+        ops[op--] = 'D';
+        if (d_tape[t] == (C)(m_tape[t - 1] + gap_o + gap_e)) layer = 0;
+        --v;
+      } else if (layer == 1) {
+        ops[op--] = 'I';
+        if (i_tape[t] == (C)(m_tape[t - nc] + gap_o + gap_e)) layer = 0;
+        --h;
+      } else {
+        if (m_tape[t] == d_tape[t]) {
+          layer = 2;
+        } else if (m_tape[t] == i_tape[t]) {
+          layer = 1;
+        } else if (m_tape[t] == (C)(m_tape[t - nc - 1] + match)) {
+          ops[op--] = 'M'; --h; --v;
+        } else if (m_tape[t] == (C)(m_tape[t - nc - 1] + mismatch)) {
+          ops[op--] = 'X'; --h; --v;
+        } else {
+          // ref: swg.c:99-104 aborts; mark and bail.
+          ops[op--] = '?';
+          break;
+        }
+      }
+    }
+    while (h > 0) { ops[op--] = 'I'; --h; }
+    while (v > 0) { ops[op--] = 'D'; --v; }
+    begin = op + 1;
+  }
+  *begin_out = begin;
+  *end_out = end;
+}
+
+extern "C" void aim_swg_align(const uint8_t *patterns, const uint8_t *texts,
+                   const int32_t *plens, const int32_t *tlens, long n,
+                   int read_size, int match, int mismatch, int gap_o,
+                   int gap_e, int max_score, int cell_width, int backtrace,
+                   int32_t *scores, char *ops, int32_t *begin_off,
+                   int32_t *end_off) {
+  const int max_ops = 2 * read_size;
+  size_t tsz = (size_t)(read_size + 1) * (read_size + 1) + read_size + 2;
+  if (cell_width == 1) {
+    std::vector<int8_t> m(tsz), ii(tsz), d(tsz);
+    for (long i = 0; i < n; ++i) {
+      char *o = ops + i * max_ops;
+      if (backtrace) std::memset(o, 'M', (size_t)max_ops);
+      swg_pair<int8_t>(patterns + i * read_size, texts + i * read_size,
+                       plens[i], tlens[i], match, mismatch, gap_o, gap_e,
+                       max_score, backtrace, m, ii, d, &scores[i], o,
+                       &begin_off[i], &end_off[i]);
+    }
+  } else {
+    std::vector<int16_t> m(tsz), ii(tsz), d(tsz);
+    for (long i = 0; i < n; ++i) {
+      char *o = ops + i * max_ops;
+      if (backtrace) std::memset(o, 'M', (size_t)max_ops);
+      swg_pair<int16_t>(patterns + i * read_size, texts + i * read_size,
+                        plens[i], tlens[i], match, mismatch, gap_o, gap_e,
+                        max_score, backtrace, m, ii, d, &scores[i], o,
+                        &begin_off[i], &end_off[i]);
+    }
+  }
+}
+
+// Batch walker over device-produced SWG direction bits (format above).
+extern "C" void aim_swg_traceback_bits(const uint8_t *bits, long h_stride, long w_stride,
+                            const int32_t *plens, const int32_t *tlens, long n,
+                            int max_ops, char *ops, int32_t *begin_off,
+                            int32_t *end_off) {
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *b = bits + i * h_stride * w_stride;
+    char *o = ops + i * max_ops;
+    std::memset(o, 'M', (size_t)max_ops);
+    int plen = plens[i], tlen = tlens[i];
+    int max_operations = plen + tlen;
+    int op = max_operations - 1;
+    int h = tlen, v = plen;
+    int layer = 0;
+    while (h > 0 && v > 0) {
+      uint8_t code = b[h * w_stride + v];
+      if (layer == 2) {
+        o[op--] = 'D';
+        if (code & 4) layer = 0;
+        --v;
+      } else if (layer == 1) {
+        o[op--] = 'I';
+        if (code & 8) layer = 0;
+        --h;
+      } else {
+        switch (code & 3) {
+          case 0: layer = 2; break;
+          case 1: layer = 1; break;
+          case 2: o[op--] = 'M'; --h; --v; break;
+          default: o[op--] = 'X'; --h; --v; break;
+        }
+      }
+    }
+    while (h > 0) { o[op--] = 'I'; --h; }
+    while (v > 0) { o[op--] = 'D'; --v; }
+    begin_off[i] = op + 1;
+    end_off[i] = max_operations;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// WFA (gap-affine wavefront) oracle + dense-history backtrace walker.
+//
+// Dense history layout (shared with the TPU kernels):
+//   hist_{m,i,d}: [S+1, K] int16, K = 2*max_score+1, lane index = k+max_score
+//   klo/khi:      [S+1] int32   (post-reduce extents)
+//   flags:        [S+1] uint8   bit0 exists, bit1 m_null, bit2 i_null,
+//                               bit3 d_null
+// "exists" is the analogue of mramIdx[s] != 0 (ref: wfa.c:300-302): a score
+// whose wavefront was never allocated reads as NULL everywhere.  A
+// reduce-nulled wavefront is stored with m_null set but its extended m
+// offsets intact, and the backtrace's m-reads deliberately ignore m_null —
+// both reproducing the reference (ref: wfa_backtracing.c:73-166 checks klo/khi
+// and d_null/iwavefront only, never m_null).
+// ---------------------------------------------------------------------------
+
+typedef int16_t wfa_off_t;
+static const wfa_off_t WFA_NULL = (wfa_off_t)(INT16_MIN / 2);
+
+struct WfaDense {
+  int smax;   // MAX_SCORE
+  int K;      // 2*smax+1
+  wfa_off_t *m, *i, *d;  // [S+1, K]
+  int32_t *klo, *khi;    // [S+1]
+  uint8_t *flags;        // [S+1]
+};
+
+static inline int f_exists(uint8_t f) { return f & 1; }
+static inline int f_mnull(uint8_t f) { return (f >> 1) & 1; }
+static inline int f_inull(uint8_t f) { return (f >> 2) & 1; }
+static inline int f_dnull(uint8_t f) { return (f >> 3) & 1; }
+
+// Forward pass for one pair, recording the dense history.  Returns the
+// final score: the end-reached score, or max_score+1 on overflow
+// (ref: wfa.c:399-404).
+static int wfa_forward_dense(const uint8_t *pat, const uint8_t *txt, int plen,
+                             int tlen, int mismatch, int gap_o, int gap_e,
+                             int smax, int reduce, WfaDense &H) {
+  const int K = H.K;
+  const long KS = (long)K;
+  // score 0: lo = hi = 0, kernel 0 (i/d null), m[0] = 0 (ref: wfa.c:364-366).
+  for (int s = 0; s <= smax; ++s) H.flags[s] = 0;
+  {
+    wfa_off_t *m0 = H.m + 0 * KS;
+    std::fill(m0, m0 + K, WFA_NULL);
+    m0[smax] = 0;
+    H.klo[0] = 0; H.khi[0] = 0;
+    H.flags[0] = 1 /*exists*/ | (1 << 2) /*i_null*/ | (1 << 3) /*d_null*/;
+  }
+  const int ak = tlen - plen;  // alignment diagonal
+  int score = 0;
+  bool cur_exists = true;
+  while (true) {
+    wfa_off_t *m = H.m + (long)score * KS;
+    int klo = H.klo[score], khi = H.khi[score];
+    bool m_null = !cur_exists || f_mnull(H.flags[score]);
+    // ---- extend (ref: wfa.c:193-215) ----
+    if (!m_null) {
+      for (int k = klo; k <= khi; ++k) {
+        int off = m[k + H.smax];
+        if (off < 0) continue;
+        int v = off - k, h = off;
+        while (v < plen && h < tlen && v >= 0 && h >= 0 &&
+               pat[v] == txt[h]) { ++v; ++h; ++off; }
+        m[k + H.smax] = (wfa_off_t)(h);
+      }
+    }
+    // ---- reduce (WFA-adaptive, ref: wfa.c:70-141) ----
+    if (reduce && !m_null && (khi - klo + 1) >= 10) {
+      int min_dist = std::max(plen, tlen);
+      for (int k = klo; k <= khi; ++k) {
+        int off = m[k + H.smax];
+        int dist = std::max(plen - (off - k), tlen - off);
+        min_dist = std::min(dist, min_dist);
+      }
+      int klo_orig = klo, khi_orig = khi;
+      int top_limit = std::min(ak - 1, khi);
+      for (int k = klo; k < top_limit; ++k) {
+        int off = m[k + H.smax];
+        int dist = std::max(plen - (off - k), tlen - off);
+        if (dist - min_dist <= 50) break;
+        ++klo;
+      }
+      int bottom_limit = std::max(ak + 1, klo);
+      for (int k = khi_orig; k > bottom_limit; --k) {
+        int off = m[k + H.smax];
+        int dist = std::max(plen - (off - k), tlen - off);
+        if (dist - min_dist <= 50) break;
+        --khi;
+      }
+      if (klo > khi) {
+        // Null the wavefront but RESTORE the extents (ref: wfa.c:132-140).
+        H.flags[score] |= (1 << 1) | (1 << 2) | (1 << 3);
+        klo = klo_orig; khi = khi_orig;
+      }
+      H.klo[score] = klo; H.khi[score] = khi;
+      m_null = !cur_exists || f_mnull(H.flags[score]);
+    }
+    // ---- end reached? (ref: wfa.c:217-237) ----
+    if (!m_null && klo <= ak && ak <= khi && m[ak + H.smax] >= tlen)
+      return score;
+    // ---- next score ----
+    ++score;
+    if (score > smax) return score;  // overflow: MAX_SCORE+1
+    // compute_next (ref: wfa.c:275-354)
+    int s_sub = score - mismatch;
+    int s_o = score - gap_o - gap_e;
+    int s_e = score - gap_e;
+    uint8_t f_sub = (s_sub >= 0) ? H.flags[s_sub] : 0;
+    uint8_t f_o = (s_o >= 0) ? H.flags[s_o] : 0;
+    uint8_t f_e = (s_e >= 0) ? H.flags[s_e] : 0;
+    bool m_sub_null = !(f_exists(f_sub)) || f_mnull(f_sub);
+    bool m_o_null = !(f_exists(f_o)) || f_mnull(f_o);
+    bool i_e_null = !(f_exists(f_e)) || f_inull(f_e);
+    bool d_e_null = !(f_exists(f_e)) || f_dnull(f_e);
+    bool i_out_null = m_o_null && i_e_null;
+    bool d_out_null = m_o_null && d_e_null;
+    if (m_sub_null && i_out_null && d_out_null) {
+      H.flags[score] = 0;  // exists = 0 (mramIdx[score] = 0)
+      cur_exists = false;
+      H.klo[score] = 1; H.khi[score] = -1;
+      continue;
+    }
+    int sub_lo = m_sub_null ? 1 : H.klo[s_sub];
+    int sub_hi = m_sub_null ? -1 : H.khi[s_sub];
+    int o_lo = m_o_null ? 1 : H.klo[s_o];
+    int o_hi = m_o_null ? -1 : H.khi[s_o];
+    int e_lo = (i_e_null && d_e_null) ? 1 : H.klo[s_e];
+    int e_hi = (i_e_null && d_e_null) ? -1 : H.khi[s_e];
+    int lo = std::min(std::min(sub_lo, o_lo), e_lo) - 1;
+    int hi = std::max(std::max(sub_hi, o_hi), e_hi) + 1;
+    // clamp to representable range (cannot exceed |score| in exact WFA)
+    if (lo < -H.smax) lo = -H.smax;
+    if (hi > H.smax) hi = H.smax;
+    H.klo[score] = lo; H.khi[score] = hi;
+    H.flags[score] = 1 | ((i_out_null ? 1 : 0) << 2) | ((d_out_null ? 1 : 0) << 3);
+    cur_exists = true;
+    wfa_off_t *mn = H.m + (long)score * KS;
+    wfa_off_t *in = H.i + (long)score * KS;
+    wfa_off_t *dn = H.d + (long)score * KS;
+    std::fill(mn, mn + K, WFA_NULL);
+    if (!i_out_null) std::fill(in, in + K, WFA_NULL);
+    if (!d_out_null) std::fill(dn, dn + K, WFA_NULL);
+    const wfa_off_t *m_sub = m_sub_null ? nullptr : H.m + (long)s_sub * KS;
+    const wfa_off_t *m_o = m_o_null ? nullptr : H.m + (long)s_o * KS;
+    const wfa_off_t *i_e = i_e_null ? nullptr : H.i + (long)s_e * KS;
+    const wfa_off_t *d_e = d_e_null ? nullptr : H.d + (long)s_e * KS;
+    for (int k = lo; k <= hi; ++k) {
+      // The -10 sentinels reproduce the reference's uninitialized-looking
+      // defaults, which are live values: a skipped branch contributes -10
+      // to the M max (ref: wfa.c:243,255,266).
+      wfa_off_t ins = -10;
+      if (!m_o_null || !i_e_null) {
+        wfa_off_t ins_g = (!m_o_null && o_lo <= k - 1 && k - 1 <= o_hi)
+                              ? m_o[k - 1 + H.smax] : WFA_NULL;
+        wfa_off_t ins_i = (!i_e_null && e_lo <= k - 1 && k - 1 <= e_hi)
+                              ? i_e[k - 1 + H.smax] : WFA_NULL;
+        if (ins_g == WFA_NULL && ins_i == WFA_NULL) ins = WFA_NULL;
+        else ins = (wfa_off_t)(std::max(ins_g, ins_i) + 1);
+        in[k + H.smax] = ins;
+      }
+      wfa_off_t del = -10;
+      if (!m_o_null || !d_e_null) {
+        wfa_off_t del_g = (!m_o_null && o_lo <= k + 1 && k + 1 <= o_hi)
+                              ? m_o[k + 1 + H.smax] : WFA_NULL;
+        wfa_off_t del_d = (!d_e_null && e_lo <= k + 1 && k + 1 <= e_hi)
+                              ? d_e[k + 1 + H.smax] : WFA_NULL;
+        del = std::max(del_g, del_d);  // no both-null special case (ref :262)
+        dn[k + H.smax] = del;
+      }
+      wfa_off_t sub = -10;
+      if (!m_sub_null) {
+        sub = (sub_lo <= k && k <= sub_hi)
+                  ? (wfa_off_t)(m_sub[k + H.smax] + 1) : WFA_NULL;
+      }
+      mn[k + H.smax] = std::max(del, std::max(sub, ins));
+    }
+  }
+}
+
+// Backtrace over a dense history for one pair
+// (ref: WFA/DPU-MRAM/dpu/wfa_backtracing.c:219-375).
+static void wfa_backtrace_dense(const WfaDense &H, const uint8_t *pat,
+                                const uint8_t *txt, int plen, int tlen,
+                                int mismatch, int gap_o, int gap_e,
+                                int alignment_score, char *ops,
+                                int32_t *begin_out, int max_operations) {
+  const long KS = (long)H.K;
+  const int ak = tlen - plen;
+  int score = alignment_score;
+  int k = ak;
+  int op = *begin_out;  // caller passes max_operations-1
+  wfa_off_t offset = H.m[(long)score * KS + k + H.smax];
+  int v = offset - k, h = offset;
+  bool valid = (v > 0 && v <= plen && h > 0 && h <= tlen);
+  int btype = 0;  // 0=M 1=I 2=D
+
+  auto m_read = [&](int s, int kk) -> wfa_off_t {
+    // deletion_open / insertion_open / mismatch m-reads: bounds by klo/khi,
+    // existence by mramIdx != 0; m_null deliberately NOT checked.
+    if (s < 0 || !f_exists(H.flags[s])) return WFA_NULL;
+    if (H.klo[s] <= kk && kk <= H.khi[s]) return H.m[(long)s * KS + kk + H.smax];
+    return WFA_NULL;
+  };
+  auto d_read = [&](int s, int kk) -> wfa_off_t {
+    if (s < 0 || !f_exists(H.flags[s]) || f_dnull(H.flags[s])) return WFA_NULL;
+    if (H.klo[s] <= kk && kk <= H.khi[s]) return H.d[(long)s * KS + kk + H.smax];
+    return WFA_NULL;
+  };
+  auto i_read = [&](int s, int kk) -> wfa_off_t {
+    if (s < 0 || !f_exists(H.flags[s]) || f_inull(H.flags[s])) return WFA_NULL;
+    if (H.klo[s] <= kk && kk <= H.khi[s]) return H.i[(long)s * KS + kk + H.smax];
+    return WFA_NULL;
+  };
+
+  while (v > 0 && h > 0 && score > 0) {
+    if (!valid) {
+      valid = (v > 0 && v <= plen && h > 0 && h <= tlen);
+      if (valid) {
+        // add trailing gap (ref: wfa_backtracing.c:48-69)
+        if (k < ak) { for (int i2 = k; i2 < ak; ++i2) ops[op--] = 'I'; }
+        else if (k > ak) { for (int i2 = ak; i2 < k; ++i2) ops[op--] = 'D'; }
+      }
+    }
+    int s_o = score - gap_o - gap_e;
+    int s_e = score - gap_e;
+    int s_x = score - mismatch;
+    // The +1 trace reads add 1 to the RAW stored value even when it is
+    // OFFSET_NULL (the reference returns iwavefront[k-1] + 1 etc. with no
+    // null check on the value, ref: wfa_backtracing.c:110-166); only an
+    // out-of-bounds / missing-component read yields NULL itself.
+    auto in_m = [&](int s, int kk) {
+      return s >= 0 && f_exists(H.flags[s]) && H.klo[s] <= kk && kk <= H.khi[s];
+    };
+    auto in_i = [&](int s, int kk) {
+      return s >= 0 && f_exists(H.flags[s]) && !f_inull(H.flags[s]) &&
+             H.klo[s] <= kk && kk <= H.khi[s];
+    };
+    wfa_off_t del_ext = (btype == 1) ? WFA_NULL : d_read(s_e, k + 1);
+    wfa_off_t del_open = (btype == 1) ? WFA_NULL : m_read(s_o, k + 1);
+    wfa_off_t ins_ext =
+        (btype == 2 || !in_i(s_e, k - 1))
+            ? WFA_NULL
+            : (wfa_off_t)(H.i[(long)s_e * KS + (k - 1) + H.smax] + 1);
+    wfa_off_t ins_open =
+        (btype == 2 || !in_m(s_o, k - 1))
+            ? WFA_NULL
+            : (wfa_off_t)(H.m[(long)s_o * KS + (k - 1) + H.smax] + 1);
+    wfa_off_t misms =
+        (btype != 0 || !in_m(s_x, k))
+            ? WFA_NULL
+            : (wfa_off_t)(H.m[(long)s_x * KS + k + H.smax] + 1);
+    (void)i_read;
+    wfa_off_t max_del = std::max(del_ext, del_open);
+    wfa_off_t max_ins = std::max(ins_ext, ins_open);
+    wfa_off_t max_all = std::max(misms, std::max(max_ins, max_del));
+    if (btype == 0) {
+      int num_matches = offset - max_all;
+      for (int i2 = 0; i2 < num_matches; ++i2) ops[op--] = 'M';
+      offset = max_all;
+      v = offset - k; h = offset;
+      if (v <= 0 || h <= 0) break;
+    }
+    if (max_all == del_ext) {
+      if (valid) ops[op--] = 'D';
+      score = s_e; ++k; btype = 2;
+    } else if (max_all == del_open) {
+      if (valid) ops[op--] = 'D';
+      score = s_o; ++k; btype = 0;
+    } else if (max_all == ins_ext) {
+      if (valid) ops[op--] = 'I';
+      score = s_e; --k; --offset; btype = 1;
+    } else if (max_all == ins_open) {
+      if (valid) ops[op--] = 'I';
+      score = s_o; --k; --offset; btype = 0;
+    } else if (max_all == misms) {
+      if (valid) ops[op--] = 'X';
+      score = s_x; --offset;
+    } else {
+      ops[op--] = '?';  // ref aborts: "No link found during backtrace"
+      break;
+    }
+    v = offset - k; h = offset;
+  }
+  if (score == 0) {
+    for (int i2 = 0; i2 < (int)offset; ++i2) ops[op--] = 'M';
+  } else {
+    while (v > 0) { ops[op--] = 'D'; --v; }
+    while (h > 0) { ops[op--] = 'I'; --h; }
+  }
+  *begin_out = op + 1;
+  (void)max_operations;
+}
+
+// Full WFA oracle: parse -> forward (dense) -> backtrace, one pair at a time.
+// overflow_backtrace: 0 = skip backtrace on score > MAX_SCORE (the HBM/MRAM
+// tier, ref: WFA/DPU-MRAM/dpu/wfa.c:399-404).  The reference's WRAM tier
+// instead reads past its wavefront array on overflow (undefined behavior,
+// ref: WFA/DPU-WRAM/dpu/wfa.c:369-376), which we do not reproduce.
+extern "C" void aim_wfa_align(const uint8_t *patterns, const uint8_t *texts,
+                   const int32_t *plens, const int32_t *tlens, long n,
+                   int read_size, int mismatch, int gap_o, int gap_e,
+                   int max_score, int reduce, int backtrace, int32_t *scores,
+                   char *ops, int32_t *begin_off, int32_t *end_off) {
+  const int max_ops = 2 * read_size;
+  const int K = 2 * max_score + 1;
+  const long S1 = max_score + 1;
+  std::vector<wfa_off_t> hm(S1 * K), hi(S1 * K), hd(S1 * K);
+  std::vector<int32_t> klo(S1), khi(S1);
+  std::vector<uint8_t> flags(S1);
+  WfaDense H{max_score, K, hm.data(), hi.data(), hd.data(),
+             klo.data(), khi.data(), flags.data()};
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *pat = patterns + i * read_size;
+    const uint8_t *txt = texts + i * read_size;
+    int plen = plens[i], tlen = tlens[i];
+    char *o = ops + i * max_ops;
+    if (backtrace) std::memset(o, 'M', (size_t)max_ops);
+    int sc = wfa_forward_dense(pat, txt, plen, tlen, mismatch, gap_o, gap_e,
+                               max_score, reduce, H);
+    scores[i] = sc;
+    int max_operations = plen + tlen;
+    int begin = max_operations - 1;
+    if (backtrace && sc <= max_score) {
+      wfa_backtrace_dense(H, pat, txt, plen, tlen, mismatch, gap_o, gap_e, sc,
+                          o, &begin, max_operations);
+    }
+    begin_off[i] = begin;
+    end_off[i] = max_operations;
+  }
+}
+
+// Batch walker over device-produced dense WFA histories.
+// hist_*: [n, S+1, K] int16; klo/khi: [n, S+1] int32; flags: [n, S+1] uint8.
+extern "C" void aim_wfa_backtrace_batch(const int16_t *hist_m, const int16_t *hist_i,
+                             const int16_t *hist_d, const int32_t *klo,
+                             const int32_t *khi, const uint8_t *flags,
+                             const int32_t *scores, const uint8_t *patterns,
+                             const uint8_t *texts, const int32_t *plens,
+                             const int32_t *tlens, long n, int read_size,
+                             int mismatch, int gap_o, int gap_e, int max_score,
+                             char *ops, int32_t *begin_off, int32_t *end_off) {
+  const int max_ops = 2 * read_size;
+  const int K = 2 * max_score + 1;
+  const long S1 = max_score + 1;
+  for (long i = 0; i < n; ++i) {
+    WfaDense H{max_score, K,
+               const_cast<wfa_off_t *>(hist_m) + i * S1 * K,
+               const_cast<wfa_off_t *>(hist_i) + i * S1 * K,
+               const_cast<wfa_off_t *>(hist_d) + i * S1 * K,
+               const_cast<int32_t *>(klo) + i * S1,
+               const_cast<int32_t *>(khi) + i * S1,
+               const_cast<uint8_t *>(flags) + i * S1};
+    int plen = plens[i], tlen = tlens[i];
+    char *o = ops + i * max_ops;
+    std::memset(o, 'M', (size_t)max_ops);
+    int max_operations = plen + tlen;
+    int begin = max_operations - 1;
+    if (scores[i] <= max_score) {
+      wfa_backtrace_dense(H, patterns + i * read_size, texts + i * read_size,
+                          plen, tlen, mismatch, gap_o, gap_e, scores[i], o,
+                          &begin, max_operations);
+    }
+    begin_off[i] = begin;
+    end_off[i] = max_operations;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Output emission — byte-identical to the reference host
+// (ref: host.c:340 "%d, %d, \n" + edit_cigar_print host.c:69-89).
+// Returns bytes written, or -1 on error.
+// ---------------------------------------------------------------------------
+
+extern "C" long aim_emit_output(const char *path, const int32_t *idx,
+                     const int32_t *scores, const char *ops,
+                     const int32_t *begin_off, const int32_t *end_off, long n,
+                     int max_ops, int backtrace) {
+  FILE *f = std::fopen(path, "wb");
+  if (!f) return -1;
+  std::vector<char> iobuf(1 << 22);
+  std::setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+  for (long i = 0; i < n; ++i) {
+    std::fprintf(f, "%d, %d, \n", idx ? idx[i] : (int32_t)i, scores[i]);
+    if (backtrace) {
+      const char *o = ops + i * max_ops;
+      int b = begin_off[i], e = end_off[i];
+      char last = o[b];
+      int run = 1;
+      for (int j = b + 1; j < e; ++j) {
+        if (o[j] == last) {
+          ++run;
+        } else {
+          std::fprintf(f, "%d%c", run, last);
+          last = o[j];
+          run = 1;
+        }
+      }
+      std::fprintf(f, "%d%c\n", run, last);
+    }
+  }
+  long sz = std::ftell(f);
+  std::fclose(f);
+  return sz;
+}
+
