@@ -1,0 +1,205 @@
+"""High-level alignment API: batches, backends, fallback, traceback.
+
+This is the framework's equivalent of the reference host orchestrator
+(ref: WFA/DPU-MRAM/host/host.c:136-377): pack pairs -> push to device ->
+run the batch kernel -> pull results -> reconstruct CIGARs -> emit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from aim_tpu.config import ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig
+from aim_tpu import native
+
+# Persistent compilation cache (compiles are expensive on this host; a
+# config re-derivation re-jits, the cache makes that cheap across runs).
+try:
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/aim_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
+
+@dataclass
+class AlignResult:
+    scores: np.ndarray                 # [n] int32
+    ops: np.ndarray | None = None      # [n, 2R] uint8 (backtrace only)
+    begin: np.ndarray | None = None    # [n] int32
+    end: np.ndarray | None = None      # [n] int32
+    # phase timings (seconds), mirroring the reference's CPU-DPU /
+    # DPU Kernel / DPU-CPU phases (ref: host.c:272,299,330)
+    t_load: float = 0.0
+    t_kernel: float = 0.0
+    t_retrieve: float = 0.0
+    n_fallback: int = 0
+
+
+def _forward_fn(cfg: AlignConfig):
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if backend == "pallas":
+        try:
+            from aim_tpu.ops import pallas_kernels
+            fn = pallas_kernels.forward_fn(cfg)
+            if fn is not None:
+                return fn
+        except ImportError:
+            pass
+    if cfg.algo == ALGO_NW:
+        from aim_tpu.ops.nw_xla import nw_forward
+        return nw_forward
+    if cfg.algo == ALGO_SWG:
+        from aim_tpu.ops.swg_xla import swg_forward
+        return swg_forward
+    from aim_tpu.ops.wfa_xla import wfa_forward
+    return wfa_forward
+
+
+def _pad_batch(arrs, size):
+    n = arrs[0].shape[0]
+    if n == size:
+        return arrs
+    out = []
+    for a in arrs:
+        pad = [(0, size - n)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, pad))
+    return out
+
+
+def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
+    """Exact-semantics host path (used for flagged-pair fallback)."""
+    if cfg.algo == ALGO_NW:
+        return native.nw_align(pats, txts, plens, tlens,
+                               mismatch=cfg.mismatch, gap_i=cfg.gap_i,
+                               gap_d=cfg.gap_d, backtrace=cfg.backtrace)
+    if cfg.algo == ALGO_SWG:
+        return native.swg_align(pats, txts, plens, tlens, match=cfg.match,
+                                mismatch=cfg.mismatch, gap_o=cfg.gap_o,
+                                gap_e=cfg.gap_e, max_score=cfg.max_score,
+                                cell_width=cfg.cell_width,
+                                backtrace=cfg.backtrace)
+    return native.wfa_align(pats, txts, plens, tlens, mismatch=cfg.mismatch,
+                            gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+                            max_score=cfg.max_score, adaptive=cfg.adaptive,
+                            backtrace=cfg.backtrace)
+
+
+def align(pats, txts, plens, tlens, cfg: AlignConfig,
+          device_sharding=None) -> AlignResult:
+    """Align a packed pair batch.  Returns scores (+ ops buffers when
+    cfg.backtrace).  Device work runs in cfg.batch_pairs chunks.
+    """
+    cfg.validate()
+    n = pats.shape[0]
+    R = cfg.read_size
+    max_ops = 2 * R
+    fwd = _forward_fn(cfg)
+
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8) if cfg.backtrace else None
+    begin = np.zeros(n, np.int32) if cfg.backtrace else None
+    end = np.zeros(n, np.int32) if cfg.backtrace else None
+    res = AlignResult(scores, ops, begin, end)
+
+    # Constant per-chunk shape (one jit specialization); padded tail pairs
+    # have zero lengths and finish immediately.
+    ndev = getattr(device_sharding, "num_devices", None) or 1
+    align_to = max(8, 8 * ndev)
+    bs = min(cfg.batch_pairs, -(-n // align_to) * align_to)
+    bs = max(bs, align_to)
+    for lo in range(0, n, bs):
+        hi = min(lo + bs, n)
+        chunk = slice(lo, hi)
+        cp, ct, cpl, ctl = (pats[chunk], txts[chunk], plens[chunk], tlens[chunk])
+        csize = hi - lo
+        cp, ct, cpl, ctl = _pad_batch([cp, ct, cpl, ctl], bs)
+
+        t0 = time.perf_counter()
+        def put(a):
+            return jax.device_put(a) if device_sharding is None \
+                else jax.device_put(a, device_sharding)
+        dp, dt, dpl, dtl = put(cp), put(ct), put(cpl), put(ctl)
+        jax.block_until_ready((dp, dt))
+        t1 = time.perf_counter()
+        out = fwd(dp, dt, dpl, dtl, cfg=cfg)
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        host = {k: np.asarray(v)[:csize] for k, v in out.items()}
+        t3 = time.perf_counter()
+        res.t_load += t1 - t0
+        res.t_kernel += t2 - t1
+        res.t_retrieve += t3 - t2
+
+        scores[chunk] = host["scores"]
+        fb = host.get("needs_fallback")
+        if cfg.backtrace:
+            if cfg.algo == ALGO_WFA:
+                o, b, e = native.wfa_backtrace_batch(
+                    host["hist_m"], host["hist_i"], host["hist_d"],
+                    host["klo"], host["khi"], host["flags"], host["scores"],
+                    pats[chunk], txts[chunk], plens[chunk], tlens[chunk],
+                    mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+                    max_score=cfg.max_score)
+            else:
+                walker = (native.nw_traceback_bits if cfg.algo == ALGO_NW
+                          else native.swg_traceback_bits)
+                o, b, e = walker(host["bits"], plens[chunk], tlens[chunk], max_ops)
+            ops[chunk], begin[chunk], end[chunk] = o, b, e
+        # Re-run flagged pairs through the exact host oracle (tape-aliasing
+        # beyond plen==tlen+1, or potential cell-type wrap).
+        if fb is not None and fb.any():
+            sel = np.nonzero(fb)[0]
+            res.n_fallback += len(sel)
+            osc, oops, ob, oe = _oracle_align(
+                pats[chunk][sel], txts[chunk][sel], plens[chunk][sel],
+                tlens[chunk][sel], cfg)
+            scores[lo + sel] = osc
+            if cfg.backtrace:
+                ops[lo + sel] = oops
+                begin[lo + sel] = ob
+                end[lo + sel] = oe
+    return res
+
+
+def align_file(input_path: str, output_path: str, n_reads: int,
+               cfg: AlignConfig, device_sharding=None, verbose=True):
+    """Full file-to-file pipeline (the reference host main(), host.c:136).
+
+    n_reads follows the reference CLI meaning: number of PAIRS requested;
+    fewer are aligned if the file is shorter (get_reads tolerates EOF,
+    ref: host.c:104-110).
+    """
+    t0 = time.perf_counter()
+    pats, txts, plens, tlens = native.parse_pairs(input_path, n_reads,
+                                                  cfg.read_size)
+    t_parse = time.perf_counter() - t0
+    res = align(pats, txts, plens, tlens, cfg, device_sharding)
+    n = len(res.scores)
+    idx = np.arange(n, dtype=np.int32)
+    t0 = time.perf_counter()
+    native.emit_output(output_path, idx, res.scores, res.ops, res.begin,
+                       res.end, cfg.backtrace)
+    t_emit = time.perf_counter() - t0
+    if verbose:
+        # Phase prints mirroring the reference (ref: host.c:272,299,330).
+        print(f"Parsed {n} pairs in {t_parse * 1e3:.3f} ms")
+        print(f"CPU-TPU: {res.t_load * 1e3:f} ms")
+        print(f"TPU Kernel: {res.t_kernel * 1e3:f} ms")
+        print(f"TPU-CPU: {res.t_retrieve * 1e3:f} ms")
+        total = res.t_load + res.t_kernel + res.t_retrieve
+        if total > 0:
+            print(f"pairs/s (device phases): {n / total:.1f}")
+        if res.n_fallback:
+            print(f"host-oracle fallback pairs: {res.n_fallback}")
+    return res

@@ -1,0 +1,137 @@
+"""aim-tpu command-line launcher.
+
+One CLI reproducing the reference's six per-variant launcher scripts
+(ref: */*/run-*-pim-*.py) as subcommands:
+
+    python -m aim_tpu.cli wfa -i pairs.txt -o out -l 100 -e 0.01 -n 40000 -b -r
+    python -m aim_tpu.cli nw  -i pairs.txt -o out -l 100 -e 0.01 -n 40000 -b
+    python -m aim_tpu.cli swg -i pairs.txt -o out -l 100 -e 0.01 -n 40000 -b
+
+Flags follow the reference exactly: -i -o -l -e -n -m -x -g -a -b -r -t -d
+(ref: run-wfa-pim-mram.py:6-33).  MAX_SCORE / READ_SIZE are derived with
+the launchers' formulas (see config.derive_config); what the reference
+pushes through `make FLAGS=-D…` becomes a re-jit here.  -t/-d (tasklets /
+DPUs) have no hardware meaning on TPU and are accepted for compatibility;
+-d additionally caps the device count used.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from aim_tpu.config import derive_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="aim-tpu", add_help=True)
+    sub = ap.add_subparsers(dest="algo", required=True)
+
+    def common(p, affine: bool):
+        p.add_argument("-i", "--input", type=str, required=True,
+                       help="Input read pairs file path")
+        p.add_argument("-o", "--output", type=str, default="./out",
+                       help="Output alignment file path")
+        p.add_argument("-l", "--read_length", type=int, required=True,
+                       help="Read length")
+        p.add_argument("-e", "--error", type=float, required=True,
+                       help="Percentage error per read length")
+        p.add_argument("-n", "--number_reads", type=int, required=True,
+                       help="Number of read pairs to be aligned")
+        p.add_argument("-m", "--match_cost", type=int, default=0,
+                       help="Cost of characters match")
+        p.add_argument("-x", "--mismatch_cost", type=int, default=3,
+                       help="Cost of characters mismatch")
+        if affine:
+            p.add_argument("-g", "--gap_opening", type=int, default=4,
+                           help="Cost of opening a new gap")
+            p.add_argument("-a", "--gap_extending", type=int, default=1,
+                           help="Cost of extending gap")
+        else:
+            p.add_argument("-g", "--gap", type=int, default=4,
+                           help="Cost of gap (GAP_I = GAP_D)")
+        p.add_argument("-b", "--backtrace", action="store_true",
+                       help="Enable backtracing")
+        p.add_argument("-t", "--nr_of_tasklets", type=int, default=None,
+                       help="accepted for reference compatibility (no-op)")
+        p.add_argument("-d", "--nr_of_dpus", type=int, default=None,
+                       help="reference compat; caps the TPU device count")
+        p.add_argument("--variant", choices=["vmem", "hbm"], default="vmem",
+                       help="memory tier: vmem=short-read (DPU-WRAM "
+                            "analogue), hbm=long-read (DPU-MRAM analogue)")
+        p.add_argument("--backend", choices=["auto", "pallas", "xla"],
+                       default="auto")
+        p.add_argument("--batch-pairs", type=int, default=None,
+                       help="pairs per device batch")
+        p.add_argument("-q", "--quiet", action="store_true")
+
+    nw = sub.add_parser("nw", help="Needleman-Wunsch edit distance")
+    common(nw, affine=False)
+    swg = sub.add_parser("swg", help="Smith-Waterman-Gotoh affine gap")
+    common(swg, affine=True)
+    wfa = sub.add_parser("wfa", help="wavefront alignment")
+    common(wfa, affine=True)
+    wfa.add_argument("-r", "--reduced", action="store_true",
+                     help="Enable WFA-Adaptive")
+    return ap
+
+
+def config_from_args(args) -> "AlignConfig":
+    # Penalty validation mirrors the launchers (run-wfa-pim-mram.py:44-46).
+    if args.algo in ("swg", "wfa"):
+        if (args.match_cost > 0 or args.mismatch_cost <= 0
+                or args.gap_opening <= 0 or args.gap_extending <= 0):
+            print("Wrong affine gap penalties must be  m <= 0 and g, a, x > 0\n")
+            raise SystemExit(-1)
+        cfg = derive_config(
+            args.algo, args.read_length, args.error,
+            match=args.match_cost, mismatch=args.mismatch_cost,
+            gap_opening=args.gap_opening, gap_extending=args.gap_extending,
+            backtrace=args.backtrace,
+            adaptive=getattr(args, "reduced", False),
+            variant=args.variant, backend=args.backend)
+    else:
+        if args.match_cost > 0 or args.mismatch_cost <= 0 or args.gap <= 0:
+            print("Wrong penalties must be  m <= 0 and g, x > 0\n")
+            raise SystemExit(-1)
+        cfg = derive_config(
+            "nw", args.read_length, args.error,
+            match=args.match_cost, mismatch=args.mismatch_cost,
+            gap=args.gap, backtrace=args.backtrace,
+            variant=args.variant, backend=args.backend)
+    if args.batch_pairs:
+        cfg = cfg.replace(batch_pairs=args.batch_pairs)
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.read_length <= 0:
+        print("Undefined input read length")
+        return -1
+    if args.number_reads <= 0:
+        print("Undefined number of input reads")
+        return -1
+    cfg = config_from_args(args)
+    if not args.quiet:
+        print(f"algo={cfg.algo} MAX_SCORE={cfg.max_score} "
+              f"READ_SIZE={cfg.read_size} backtrace={cfg.backtrace} "
+              f"adaptive={cfg.adaptive} variant={cfg.variant}")
+    import jax
+    from aim_tpu.api import align_file
+    sharding = None
+    ndev = len(jax.devices())
+    if args.nr_of_dpus:
+        ndev = min(ndev, args.nr_of_dpus)
+    if ndev > 1:
+        from aim_tpu.parallel import make_mesh, pair_sharding
+        sharding = pair_sharding(make_mesh(ndev))
+        if not args.quiet:
+            print(f"Allocated {ndev} device(s)")  # ref: host.c:189
+    align_file(args.input, args.output, args.number_reads, cfg,
+               device_sharding=sharding, verbose=not args.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

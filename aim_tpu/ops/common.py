@@ -1,0 +1,49 @@
+"""Shared helpers for the batch DP kernels."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def min_plus_scan(z: jnp.ndarray, slope: int, width: int) -> jnp.ndarray:
+    """Min-plus prefix scan along the last axis:
+
+        out[v] = min_{j <= v} ( z[j] + (v - j) * slope )
+
+    This closed form linearizes the reference's sequential deletion chain
+    ``cell[v] = min(indep[v], cell[v-1] + gap)`` (ref: NW/DPU-WRAM/dpu/nw.c:139,
+    SWG/DPU-WRAM/dpu/swg.c:151-153): substituting the recurrence yields
+    exactly this min-plus convolution, with identical integer results (min
+    and + commute associatively; no reassociation error).
+
+    Implemented as log2(width) shift+min steps — maps to VPU lane shifts.
+    """
+    ramp = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1) * slope
+    x = z - ramp
+    big = jnp.int32(2 ** 30)
+    shift = 1
+    while shift < width:
+        shifted = jnp.roll(x, shift, axis=-1)
+        # Mask the wrap-around: positions < shift keep their own value.
+        pos = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1)
+        shifted = jnp.where(pos >= shift, shifted, big)
+        x = jnp.minimum(x, shifted)
+        shift *= 2
+    return x + ramp
+
+
+def shift_right_lanes(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """out[..., v] = x[..., v-1]; out[..., 0] = fill."""
+    rolled = jnp.roll(x, 1, axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(pos >= 1, rolled, fill)
+
+
+def gather_lane(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-row lane gather: out[n] = x[n, idx[n]] for 2-D x.
+
+    One-hot multiply-reduce — XLA:TPU lowers take_along_axis to a serial
+    gather; this stays on the VPU."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.sum(jnp.where(lanes == idx[:, None], x, 0), axis=1)
