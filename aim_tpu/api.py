@@ -95,6 +95,20 @@ def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
                             backtrace=cfg.backtrace)
 
 
+def _memory_batch_cap(cfg: AlignConfig, budget_bytes=2 << 30) -> int:
+    """Cap the device batch by per-pair state footprint — the HBM-tier
+    analogue of the reference launchers' MRAM-fit shrink loops
+    (ref: run-nw-pim-mram.py:87-96)."""
+    R = cfg.read_size
+    if cfg.algo == ALGO_WFA:
+        K = 2 * cfg.max_score + 1
+        per = (cfg.max_score + 2) * K * 3 * 2 + K * (R + 2) * 2 + 4 * R
+    else:
+        per = (R + 1) * (R + 1) * (1 if cfg.backtrace else 0) + 8 * (R + 1)
+    per = max(per, 1)
+    return max(256, budget_bytes // per)
+
+
 def align(pats, txts, plens, tlens, cfg: AlignConfig,
           device_sharding=None) -> AlignResult:
     """Align a packed pair batch.  Returns scores (+ ops buffers when
@@ -116,8 +130,9 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     # have zero lengths and finish immediately.
     ndev = getattr(device_sharding, "num_devices", None) or 1
     align_to = max(8, 8 * ndev)
-    bs = min(cfg.batch_pairs, -(-n // align_to) * align_to)
-    bs = max(bs, align_to)
+    bs = min(cfg.batch_pairs, _memory_batch_cap(cfg),
+             -(-n // align_to) * align_to)
+    bs = max(-(-bs // align_to) * align_to, align_to)
     for lo in range(0, n, bs):
         hi = min(lo + bs, n)
         chunk = slice(lo, hi)
@@ -135,7 +150,15 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         out = fwd(dp, dt, dpl, dtl, cfg=cfg)
         jax.block_until_ready(out)
         t2 = time.perf_counter()
-        host = {k: np.asarray(v)[:csize] for k, v in out.items()}
+        # Pallas kernels emit history score-major ([S', bs, ...]); the pair
+        # axis is then axis 1 for everything but the scores.
+        score_major = getattr(fwd, "score_major", False)
+        host = {}
+        for k, v in out.items():
+            a = np.asarray(v)
+            # score-major history stays unsliced (the strided walker only
+            # visits the first csize pairs); pair-major slices normally.
+            host[k] = a if (score_major and k != "scores") else a[:csize]
         t3 = time.perf_counter()
         res.t_load += t1 - t0
         res.t_kernel += t2 - t1
@@ -150,7 +173,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
                     host["klo"], host["khi"], host["flags"], host["scores"],
                     pats[chunk], txts[chunk], plens[chunk], tlens[chunk],
                     mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
-                    max_score=cfg.max_score)
+                    max_score=cfg.max_score, score_major=score_major)
             else:
                 walker = (native.nw_traceback_bits if cfg.algo == ALGO_NW
                           else native.swg_traceback_bits)
@@ -172,8 +195,24 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     return res
 
 
+def write_device_log(path: str, cfg: AlignConfig, res: AlignResult, n: int):
+    """The dpu-out analogue (ref: host.c:355-362 harvests per-DPU logs):
+    one line per device with its share of the run."""
+    devs = jax.devices()
+    with open(path, "w") as f:
+        for i, d in enumerate(devs):
+            f.write(f"TPU {i}: {d.device_kind} | algo={cfg.algo} "
+                    f"max_score={cfg.max_score} read_size={cfg.read_size} "
+                    f"backtrace={cfg.backtrace} adaptive={cfg.adaptive} "
+                    f"pairs={n} load_s={res.t_load:.6f} "
+                    f"kernel_s={res.t_kernel:.6f} "
+                    f"retrieve_s={res.t_retrieve:.6f} "
+                    f"fallback={res.n_fallback}\n")
+
+
 def align_file(input_path: str, output_path: str, n_reads: int,
-               cfg: AlignConfig, device_sharding=None, verbose=True):
+               cfg: AlignConfig, device_sharding=None, verbose=True,
+               device_log: str | None = None):
     """Full file-to-file pipeline (the reference host main(), host.c:136).
 
     n_reads follows the reference CLI meaning: number of PAIRS requested;
@@ -191,6 +230,8 @@ def align_file(input_path: str, output_path: str, n_reads: int,
     native.emit_output(output_path, idx, res.scores, res.ops, res.begin,
                        res.end, cfg.backtrace)
     t_emit = time.perf_counter() - t0
+    if device_log:
+        write_device_log(device_log, cfg, res, n)
     if verbose:
         # Phase prints mirroring the reference (ref: host.c:272,299,330).
         print(f"Parsed {n} pairs in {t_parse * 1e3:.3f} ms")

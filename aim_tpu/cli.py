@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                        default="auto")
         p.add_argument("--batch-pairs", type=int, default=None,
                        help="pairs per device batch")
+        p.add_argument("--device-log", type=str, default="",
+                       help="per-device run log path (the reference's "
+                            "dpu-out file; disabled when empty)")
         p.add_argument("-q", "--quiet", action="store_true")
 
     nw = sub.add_parser("nw", help="Needleman-Wunsch edit distance")
@@ -129,7 +132,8 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"Allocated {ndev} device(s)")  # ref: host.c:189
     align_file(args.input, args.output, args.number_reads, cfg,
-               device_sharding=sharding, verbose=not args.quiet)
+               device_sharding=sharding, verbose=not args.quiet,
+               device_log=args.device_log or None)
     return 0
 
 

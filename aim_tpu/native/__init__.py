@@ -84,7 +84,8 @@ def load():
             _i16p, _i16p, _i16p, _i32p, _i32p, _i8p, _i32p,
             _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, _chp, _i32p, _i32p,
+            ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, _chp, _i32p, _i32p,
         ]
         lib.aim_emit_output.restype = ctypes.c_long
         lib.aim_emit_output.argtypes = [
@@ -215,25 +216,46 @@ def swg_traceback_bits(bits, plens, tlens, max_ops):
 
 def wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags, scores,
                         pats, txts, plens, tlens, *, mismatch, gap_o, gap_e,
-                        max_score):
-    """Walk device-produced dense WFA histories into ops buffers."""
+                        max_score, score_major=False):
+    """Walk device-produced dense WFA histories into ops buffers.
+
+    Two accepted layouts (zero-copy either way):
+      score_major=False: hist [n, S+1, K] int16, klo/khi/flags [n, S+1]
+      score_major=True:  hist [S', n, Kp] int16 (S' >= S+1, Kp >= K),
+                         klo/khi/flags [S', n] — the Pallas kernels' native
+                         layout; walked via strides, no transpose.
+    """
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
     n, read_size = pats.shape
     max_ops = 2 * read_size
-    hist_m = np.ascontiguousarray(hist_m, np.int16)
-    hist_i = np.ascontiguousarray(hist_i, np.int16)
-    hist_d = np.ascontiguousarray(hist_d, np.int16)
+
+    def prep16(a):
+        a = np.asarray(a)
+        assert a.dtype == np.int16 and a.flags.c_contiguous
+        return a
+
+    hist_m, hist_i, hist_d = prep16(hist_m), prep16(hist_i), prep16(hist_d)
     klo = np.ascontiguousarray(klo, np.int32)
     khi = np.ascontiguousarray(khi, np.int32)
     flags = np.ascontiguousarray(flags, np.uint8)
     scores = np.ascontiguousarray(scores, np.int32)
+    if score_major:
+        Sp, n2, Kp = hist_m.shape
+        assert n2 >= n  # padded batch; walker visits the first n pairs
+        h_pair, h_score = Kp, n2 * Kp
+        m_pair, m_score = 1, n2
+    else:
+        _, S1, K = hist_m.shape
+        h_pair, h_score = S1 * K, K
+        m_pair, m_score = S1, 1
     ops = np.zeros((n, max_ops), np.uint8)
     begin = np.zeros(n, np.int32)
     end = np.zeros(n, np.int32)
     lib.aim_wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags,
                                 scores, pats, txts, plens, tlens, n,
                                 read_size, mismatch, gap_o, gap_e, max_score,
+                                h_pair, h_score, m_pair, m_score,
                                 ops, begin, end)
     return ops, begin, end
 

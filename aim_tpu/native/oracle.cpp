@@ -707,7 +707,13 @@ extern "C" void aim_wfa_align(const uint8_t *patterns, const uint8_t *texts,
 }
 
 // Batch walker over device-produced dense WFA histories.
-// hist_*: [n, S+1, K] int16; klo/khi: [n, S+1] int32; flags: [n, S+1] uint8.
+//
+// Strided layout so device-native layouts walk zero-copy:
+//   hist element (pair i, score s, k_phys) at
+//     hist_*[i*h_pair_stride + s*h_score_stride + k_phys]   (int16 elements)
+//   klo/khi/flags element (i, s) at  [i*m_pair_stride + s*m_score_stride].
+// The contiguous [n, S+1, K] layout is h_pair_stride=S1*K, h_score_stride=K,
+// m_pair_stride=S1, m_score_stride=1.
 extern "C" void aim_wfa_backtrace_batch(const int16_t *hist_m, const int16_t *hist_i,
                              const int16_t *hist_d, const int32_t *klo,
                              const int32_t *khi, const uint8_t *flags,
@@ -715,18 +721,41 @@ extern "C" void aim_wfa_backtrace_batch(const int16_t *hist_m, const int16_t *hi
                              const uint8_t *texts, const int32_t *plens,
                              const int32_t *tlens, long n, int read_size,
                              int mismatch, int gap_o, int gap_e, int max_score,
+                             long h_pair_stride, long h_score_stride,
+                             long m_pair_stride, long m_score_stride,
                              char *ops, int32_t *begin_off, int32_t *end_off) {
   const int max_ops = 2 * read_size;
   const int K = 2 * max_score + 1;
   const long S1 = max_score + 1;
+  // WfaDense assumes per-pair [S1, K]-contiguous arrays; repack per pair
+  // when the score stride differs (cheap: S1*K elements).
+  std::vector<wfa_off_t> tm, ti, td;
+  std::vector<int32_t> tklo(S1), tkhi(S1);
+  std::vector<uint8_t> tfl(S1);
+  const bool contiguous = (h_score_stride == K && m_score_stride == 1);
+  if (!contiguous) { tm.resize(S1 * K); ti.resize(S1 * K); td.resize(S1 * K); }
   for (long i = 0; i < n; ++i) {
-    WfaDense H{max_score, K,
-               const_cast<wfa_off_t *>(hist_m) + i * S1 * K,
-               const_cast<wfa_off_t *>(hist_i) + i * S1 * K,
-               const_cast<wfa_off_t *>(hist_d) + i * S1 * K,
-               const_cast<int32_t *>(klo) + i * S1,
-               const_cast<int32_t *>(khi) + i * S1,
-               const_cast<uint8_t *>(flags) + i * S1};
+    WfaDense H{max_score, K, nullptr, nullptr, nullptr, nullptr, nullptr,
+               nullptr};
+    if (contiguous) {
+      H.m = const_cast<wfa_off_t *>(hist_m) + i * h_pair_stride;
+      H.i = const_cast<wfa_off_t *>(hist_i) + i * h_pair_stride;
+      H.d = const_cast<wfa_off_t *>(hist_d) + i * h_pair_stride;
+      H.klo = const_cast<int32_t *>(klo) + i * m_pair_stride;
+      H.khi = const_cast<int32_t *>(khi) + i * m_pair_stride;
+      H.flags = const_cast<uint8_t *>(flags) + i * m_pair_stride;
+    } else {
+      for (long s = 0; s < S1; ++s) {
+        const long hb = i * h_pair_stride + s * h_score_stride;
+        std::memcpy(&tm[s * K], hist_m + hb, K * sizeof(wfa_off_t));
+        std::memcpy(&ti[s * K], hist_i + hb, K * sizeof(wfa_off_t));
+        std::memcpy(&td[s * K], hist_d + hb, K * sizeof(wfa_off_t));
+        const long mb = i * m_pair_stride + s * m_score_stride;
+        tklo[s] = klo[mb]; tkhi[s] = khi[mb]; tfl[s] = flags[mb];
+      }
+      H.m = tm.data(); H.i = ti.data(); H.d = td.data();
+      H.klo = tklo.data(); H.khi = tkhi.data(); H.flags = tfl.data();
+    }
     int plen = plens[i], tlen = tlens[i];
     char *o = ops + i * max_ops;
     std::memset(o, 'M', (size_t)max_ops);
