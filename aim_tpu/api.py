@@ -133,21 +133,37 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     bs = min(cfg.batch_pairs, _memory_batch_cap(cfg),
              -(-n // align_to) * align_to)
     bs = max(-(-bs // align_to) * align_to, align_to)
-    for lo in range(0, n, bs):
+    def put(a):
+        return jax.device_put(a) if device_sharding is None \
+            else jax.device_put(a, device_sharding)
+
+    # Double-buffered pipeline: jax dispatch is async, so batch k+1's
+    # transfers + kernel overlap batch k's retrieval and host traceback
+    # (the reference is strictly sequential: one push, one launch, one
+    # pull — host.c:246-326; overlap is free throughput here).
+    depth = 4 if cfg.algo == ALGO_WFA and cfg.max_score <= 63 else 2
+    inflight: list = []
+
+    def launch(lo):
         hi = min(lo + bs, n)
         chunk = slice(lo, hi)
-        cp, ct, cpl, ctl = (pats[chunk], txts[chunk], plens[chunk], tlens[chunk])
-        csize = hi - lo
-        cp, ct, cpl, ctl = _pad_batch([cp, ct, cpl, ctl], bs)
-
+        cp, ct, cpl, ctl = _pad_batch(
+            [pats[chunk], txts[chunk], plens[chunk], tlens[chunk]], bs)
         t0 = time.perf_counter()
-        def put(a):
-            return jax.device_put(a) if device_sharding is None \
-                else jax.device_put(a, device_sharding)
         dp, dt, dpl, dtl = put(cp), put(ct), put(cpl), put(ctl)
-        jax.block_until_ready((dp, dt))
-        t1 = time.perf_counter()
         out = fwd(dp, dt, dpl, dtl, cfg=cfg)
+        res.t_load += time.perf_counter() - t0  # dispatch cost only
+        return lo, hi, out
+
+    starts = list(range(0, n, bs))
+    for s0 in starts[:depth]:
+        inflight.append(launch(s0))
+    next_i = depth
+    while inflight:
+        lo, hi, out = inflight.pop(0)
+        chunk = slice(lo, hi)
+        csize = hi - lo
+        t1 = time.perf_counter()
         jax.block_until_ready(out)
         t2 = time.perf_counter()
         # Pallas kernels emit history score-major ([S', bs, ...]); the pair
@@ -155,22 +171,33 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         score_major = getattr(fwd, "score_major", False)
         host = {}
         for k, v in out.items():
-            a = np.asarray(v)
+            # The TPU may hand back its device-preferred layout (e.g. pair
+            # axis minor); densify so the walker's k rows are contiguous.
+            a = np.ascontiguousarray(np.asarray(v))
             # score-major history stays unsliced (the strided walker only
             # visits the first csize pairs); pair-major slices normally.
             host[k] = a if (score_major and k != "scores") else a[:csize]
         t3 = time.perf_counter()
-        res.t_load += t1 - t0
         res.t_kernel += t2 - t1
         res.t_retrieve += t3 - t2
+        # Keep the pipe full: launch the next batch before host-side work.
+        if next_i < len(starts):
+            inflight.append(launch(starts[next_i]))
+            next_i += 1
 
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
             if cfg.algo == ALGO_WFA:
+                # Unpack the two transfer arrays into strided views (the
+                # walker takes element strides; no host copies of the hist).
+                ph, pm = host["packed_hist"], host["packed_meta"]
+                K = 2 * cfg.max_score + 1
                 o, b, e = native.wfa_backtrace_batch(
-                    host["hist_m"], host["hist_i"], host["hist_d"],
-                    host["klo"], host["khi"], host["flags"], host["scores"],
+                    ph[:, :, :K], ph[:, :, K:2 * K], ph[:, :, 2 * K:3 * K],
+                    pm[:, :, 0].astype(np.int32),
+                    pm[:, :, 1].astype(np.int32),
+                    pm[:, :, 2].astype(np.uint8), host["scores"],
                     pats[chunk], txts[chunk], plens[chunk], tlens[chunk],
                     mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
                     max_score=cfg.max_score, score_major=score_major)

@@ -22,6 +22,7 @@ _LIB = None
 
 _i8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _i16p = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+_i16pv = np.ctypeslib.ndpointer(dtype=np.int16)  # strided views OK
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _chp = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")  # char*
 
@@ -81,7 +82,7 @@ def load():
         ]
         lib.aim_wfa_backtrace_batch.restype = None
         lib.aim_wfa_backtrace_batch.argtypes = [
-            _i16p, _i16p, _i16p, _i32p, _i32p, _i8p, _i32p,
+            _i16pv, _i16pv, _i16pv, _i32p, _i32p, _i8p, _i32p,
             _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -231,8 +232,11 @@ def wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags, scores,
     max_ops = 2 * read_size
 
     def prep16(a):
+        # Views are fine (e.g. lane slices of a packed transfer buffer):
+        # the C walker takes element strides; only the k rows must be dense.
         a = np.asarray(a)
-        assert a.dtype == np.int16 and a.flags.c_contiguous
+        assert a.dtype == np.int16 and a.strides[-1] == a.itemsize, \
+            (a.dtype, a.shape, a.strides)
         return a
 
     hist_m, hist_i, hist_d = prep16(hist_m), prep16(hist_i), prep16(hist_d)
@@ -240,14 +244,15 @@ def wfa_backtrace_batch(hist_m, hist_i, hist_d, klo, khi, flags, scores,
     khi = np.ascontiguousarray(khi, np.int32)
     flags = np.ascontiguousarray(flags, np.uint8)
     scores = np.ascontiguousarray(scores, np.int32)
+    st = [x // hist_m.itemsize for x in hist_m.strides]
     if score_major:
         Sp, n2, Kp = hist_m.shape
         assert n2 >= n  # padded batch; walker visits the first n pairs
-        h_pair, h_score = Kp, n2 * Kp
-        m_pair, m_score = 1, n2
+        h_score, h_pair = st[0], st[1]
+        m_pair, m_score = 1, flags.shape[1]
     else:
         _, S1, K = hist_m.shape
-        h_pair, h_score = S1 * K, K
+        h_pair, h_score = st[0], st[1]
         m_pair, m_score = S1, 1
     ops = np.zeros((n, max_ops), np.uint8)
     begin = np.zeros(n, np.int32)

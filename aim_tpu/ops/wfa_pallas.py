@@ -70,7 +70,9 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
 
     # Rolling metadata window: column LB-1 = current score s, column LB-1-d
     # = score s-d.  Pre-score-0 columns start "not exists" (flags 0).
-    col = jax.lax.broadcasted_iota(I32, (P, LB), 1)
+    # Full-tile width (128 lanes) keeps the while-carry layouts legal for
+    # Mosaic; only lanes [0, LB) are meaningful.
+    col = jax.lax.broadcasted_iota(I32, (P, 128), 1)
     klw0 = jnp.where(col == LB - 1, 0, 1)
     khw0 = jnp.where(col == LB - 1, 0, -1)
     flw0 = jnp.where(col == LB - 1, fl0, 0)
@@ -90,7 +92,8 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
         return jax.lax.slice_in_dim(w, j, j + 1, axis=1)  # [P, 1], static j
 
     def body(state):
-        s, active, scores, klw, khw, flw = state
+        s, active_i, scores, klw, khw, flw = state
+        active = active_i > 0
         m = hm_ref[s].astype(I32)
         kl = colslice(klw, LB - 1)
         kh = colslice(khw, LB - 1)
@@ -221,25 +224,27 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
         klo_ref[pl.ds(s2, 1), :] = kl2.reshape(1, P)
         khi_ref[pl.ds(s2, 1), :] = kh2.reshape(1, P)
         fl_ref[pl.ds(s2, 1), :] = newf.reshape(1, P)
-        # Shift the window and append score s2's metadata (static slices).
+        # Shift the window left and place score s2's metadata in lane LB-1.
         def shift_in(w, newcol):
-            return jnp.concatenate(
-                [jax.lax.slice_in_dim(w, 1, LB, axis=1), newcol], axis=1)
+            shifted = jnp.concatenate(
+                [jax.lax.slice_in_dim(w, 1, 128, axis=1),
+                 jax.lax.slice_in_dim(w, 0, 1, axis=1)], axis=1)
+            return jnp.where(col == LB - 1, newcol, shifted)
         klw = shift_in(klw, kl2)
         khw = shift_in(khw, kh2)
         flw = shift_in(flw, newf)
-        return s2, active, scores, klw, khw, flw
+        return s2, active.astype(I32), scores, klw, khw, flw
 
     def cond(state):
-        s, active = state[0], state[1]
-        return (s <= smax) & jnp.any(active)
+        s, active_i = state[0], state[1]
+        return (s <= smax) & (jnp.max(active_i) > 0)
 
     s0 = jnp.int32(0)
-    active0 = jnp.ones((P, 1), jnp.bool_)
+    active0 = jnp.ones((P, 1), I32)
     scores0 = jnp.zeros((P, 1), I32)
-    _, active, scores, _, _, _ = jax.lax.while_loop(
+    _, active_i, scores, _, _, _ = jax.lax.while_loop(
         cond, body, (s0, active0, scores0, klw0, khw0, flw0))
-    scores = jnp.where(active, smax + 1, scores)
+    scores = jnp.where(active_i > 0, smax + 1, scores)
     scores_ref[0:1, :] = scores.reshape(1, P)
 
 
@@ -306,6 +311,13 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     scores, hm, hi, hd, klo, khi, fl = res
     out = {"scores": scores[0]}
     if cfg.backtrace:
-        out.update(hist_m=hm, hist_i=hi, hist_d=hd,
-                   klo=klo, khi=khi, flags=fl)
+        # Slice the lane padding (Kp -> K) and the scratch score slot off
+        # on-device: the host only ever walks [0, S+1) x [0, K) and D2H
+        # bandwidth is precious.
+        s1 = smax + 1
+        out["packed_hist"] = jnp.concatenate(
+            [hm[:s1, :, :K], hi[:s1, :, :K], hd[:s1, :, :K]], axis=2)
+        out["packed_meta"] = jnp.stack(
+            [klo[:s1].astype(I16), khi[:s1].astype(I16),
+             fl[:s1].astype(I16)], axis=2)
     return out

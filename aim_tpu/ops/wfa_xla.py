@@ -258,8 +258,13 @@ def wfa_forward(pats, txts, plens, tlens, *, cfg: AlignConfig):
 
     out = {"scores": scores}
     if cfg.backtrace:
-        out.update(
-            hist_m=hm[:, : smax + 1], hist_i=hi[:, : smax + 1],
-            hist_d=hd[:, : smax + 1], klo=klo[:, : smax + 1],
-            khi=khi[:, : smax + 1], flags=flags[:, : smax + 1])
+        # Pack into two transfer arrays (D2H round trips are expensive):
+        # hist [n, S+1, 3K] i16 (m | i | d along lanes) and meta
+        # [n, S+1, 3] i16 (klo | khi | flags — all fit int16).
+        s1 = smax + 1
+        out["packed_hist"] = jnp.concatenate(
+            [hm[:, :s1], hi[:, :s1], hd[:, :s1]], axis=2)
+        out["packed_meta"] = jnp.stack(
+            [klo[:, :s1].astype(I16), khi[:, :s1].astype(I16),
+             flags[:, :s1].astype(I16)], axis=2)
     return out

@@ -68,10 +68,13 @@ def test_wfa_xla_matches_oracle(adaptive):
                                       gap_o=4, gap_e=1, max_score=smax,
                                       adaptive=adaptive, backtrace=True)
     np.testing.assert_array_equal(sc, osc)
+    K = 2 * smax + 1
+    ph = np.asarray(out["packed_hist"])
+    pm = np.asarray(out["packed_meta"])
     wops, wb, we = nat.wfa_backtrace_batch(
-        np.asarray(out["hist_m"]), np.asarray(out["hist_i"]),
-        np.asarray(out["hist_d"]), np.asarray(out["klo"]),
-        np.asarray(out["khi"]), np.asarray(out["flags"]), sc,
+        ph[:, :, :K], ph[:, :, K:2 * K], ph[:, :, 2 * K:3 * K],
+        pm[:, :, 0].astype(np.int32), pm[:, :, 1].astype(np.int32),
+        pm[:, :, 2].astype(np.uint8), sc,
         pats, txts, pl, tl, mismatch=3, gap_o=4, gap_e=1, max_score=smax)
     for i in range(len(PAIRS)):
         assert cigar_of(oops[i], ob[i], oe[i]) == cigar_of(wops[i], wb[i], we[i]), \
