@@ -44,7 +44,7 @@ class AlignResult:
     n_fallback: int = 0
 
 
-def _forward_fn(cfg: AlignConfig):
+def _forward_fn(cfg: AlignConfig, device_sharding=None):
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
@@ -53,6 +53,30 @@ def _forward_fn(cfg: AlignConfig):
             from aim_tpu.ops import pallas_kernels
             fn = pallas_kernels.forward_fn(cfg)
             if fn is not None:
+                if device_sharding is not None:
+                    # Pallas kernels don't auto-partition under SPMD jit;
+                    # run one kernel instance per shard via shard_map (pairs
+                    # are embarrassingly parallel — no collectives needed).
+                    from jax.sharding import PartitionSpec as P
+                    from jax.experimental.shard_map import shard_map
+                    mesh = device_sharding.mesh
+                    inner = fn
+
+                    def smfn(pats, txts, plens, tlens, *, cfg):
+                        def one(*args):
+                            return inner(*args, cfg=cfg)
+                        out_specs = {"scores": P("pairs")}
+                        if cfg.backtrace:
+                            out_specs["runs"] = P("pairs", None)
+                        return shard_map(
+                            one, mesh=mesh,
+                            in_specs=(P("pairs"), P("pairs"),
+                                      P("pairs"), P("pairs")),
+                            out_specs=out_specs,
+                            check_rep=False)(pats, txts, plens, tlens)
+
+                    smfn.score_major = getattr(fn, "score_major", False)
+                    return smfn
                 return fn
         except ImportError:
             pass
@@ -118,7 +142,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     n = pats.shape[0]
     R = cfg.read_size
     max_ops = 2 * R
-    fwd = _forward_fn(cfg)
+    fwd = _forward_fn(cfg, device_sharding)
 
     scores = np.zeros(n, np.int32)
     ops = np.zeros((n, max_ops), np.uint8) if cfg.backtrace else None
@@ -188,7 +212,13 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
-            if cfg.algo == ALGO_WFA:
+            if cfg.algo == ALGO_WFA and "runs" in host:
+                # The Pallas kernel backtraced on device; expand its
+                # run-length records into the reference ops buffers.
+                o, b, e = native.wfa_runs_to_ops(
+                    host["runs"][:csize], host["scores"], plens[chunk],
+                    tlens[chunk], max_score=cfg.max_score, max_ops=max_ops)
+            elif cfg.algo == ALGO_WFA:
                 # Unpack the two transfer arrays into strided views (the
                 # walker takes element strides; no host copies of the hist).
                 ph, pm = host["packed_hist"], host["packed_meta"]

@@ -80,7 +80,7 @@ class AlignConfig:
     backend: str = "auto"
     # Per-device pair-batch tile (pairs aligned concurrently per kernel
     # launch).  The analogue of NR_TASKLETS × pairs-per-tasklet.
-    batch_pairs: int = 4096
+    batch_pairs: int = 16384
 
     # ---- derived dtype policy ------------------------------------------
     @property

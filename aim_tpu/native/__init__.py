@@ -88,6 +88,11 @@ def load():
             ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_long, _chp, _i32p, _i32p,
         ]
+        lib.aim_wfa_runs_to_ops.restype = None
+        lib.aim_wfa_runs_to_ops.argtypes = [
+            _i16p, ctypes.c_long, _i32p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, _chp, _i32p, _i32p,
+        ]
         lib.aim_emit_output.restype = ctypes.c_long
         lib.aim_emit_output.argtypes = [
             ctypes.c_char_p, _i32p, _i32p, _chp, _i32p, _i32p,
@@ -284,3 +289,20 @@ def emit_output(path, idx, scores, ops, begin, end, backtrace):
     if r < 0:
         raise IOError(f"cannot write {path}")
     return r
+
+
+def wfa_runs_to_ops(runs, scores, plens, tlens, *, max_score, max_ops):
+    """Expand device CIGAR runs ([n, NRL] i16, lane 0 = cursor) into the
+    reference ops buffers (see oracle.cpp aim_wfa_runs_to_ops)."""
+    lib = load()
+    runs = np.ascontiguousarray(runs, np.int16)
+    n, nrl = runs.shape
+    scores = np.ascontiguousarray(scores, np.int32)
+    plens = np.ascontiguousarray(plens, np.int32)
+    tlens = np.ascontiguousarray(tlens, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_wfa_runs_to_ops(runs, nrl, scores, plens, tlens, n,
+                            max_score, max_ops, ops, begin, end)
+    return ops, begin, end

@@ -772,6 +772,50 @@ extern "C" void aim_wfa_backtrace_batch(const int16_t *hist_m, const int16_t *hi
 }
 
 // ---------------------------------------------------------------------------
+// Expansion of device-produced CIGAR runs into reference ops buffers.
+//
+// The Pallas WFA kernel backtraces on device and emits run-length records:
+// runs[i] is an [nrl] int16 lane row, lane 0 = final cursor rc, runs at
+// lanes rc+1..nrl-1 in alignment order, value = op<<12 | len with op
+// 0='M' 1='X' 2='I' 3='D'.  Expanding them right-to-left-equivalently into
+// the 'M'-prefilled ops buffer reproduces exactly what the reference DPU
+// backtrace leaves in its operations memory (ref: wfa.c:499-533), so the
+// downstream emitter is unchanged.  Pairs with score > max_score keep the
+// prefilled single 'M' (overflow, ref: wfa.c:399-404).
+// ---------------------------------------------------------------------------
+
+extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
+                                    const int32_t *scores,
+                                    const int32_t *plens,
+                                    const int32_t *tlens, long n,
+                                    int max_score, int max_ops, char *ops,
+                                    int32_t *begin_off, int32_t *end_off) {
+  static const char OPC[4] = {'M', 'X', 'I', 'D'};
+  for (long i = 0; i < n; ++i) {
+    char *o = ops + i * max_ops;
+    std::memset(o, 'M', (size_t)max_ops);
+    const int max_operations = plens[i] + tlens[i];
+    int begin = max_operations - 1;
+    if (scores[i] <= max_score) {
+      const int16_t *r = runs + i * nrl;
+      long start = r[0] + 1;
+      if (start < 1) start = 1;
+      long total = 0;
+      for (long j = start; j < nrl; ++j) total += r[j] & 0xFFF;
+      int pos = max_operations - (int)total;
+      begin = pos;
+      for (long j = start; j < nrl; ++j) {
+        int len = r[j] & 0xFFF;
+        char c = OPC[(r[j] >> 12) & 3];
+        for (int t = 0; t < len; ++t) o[pos++] = c;
+      }
+    }
+    begin_off[i] = begin;
+    end_off[i] = max_operations;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Output emission — byte-identical to the reference host
 // (ref: host.c:340 "%d, %d, \n" + edit_cigar_print host.c:69-89).
 // Returns bytes written, or -1 on error.

@@ -1,23 +1,32 @@
-"""WFA / WFA-adaptive — Pallas TPU kernel (VMEM-resident tier).
+"""WFA / WFA-adaptive — Pallas TPU kernel (VMEM-resident tier) with
+on-device CIGAR backtrace.
 
-One fused kernel per pair tile replaces the XLA while-loop program: the
-whole wavefront state machine (extend -> reduce -> end-check -> compute-next)
-runs on-chip with the dense history resident in VMEM output blocks — the
-TPU shape of the reference's DPU-WRAM tier where all wavefronts stay in the
-scratchpad (ref: WFA/DPU-WRAM/dpu/wfa.c:345, wavefronts[MAX_SCORE+1] array).
+One fused kernel per pair tile runs the whole alignment: the wavefront
+forward pass (extend -> reduce -> end-check -> compute-next) AND the CIGAR
+backtrace, with the dense history resident in VMEM/HBM output blocks that
+never leave the device — the TPU shape of the reference's DPU design where
+both the score loop and the backtrace run on the DPU and only (score,
+operations) records return to the host (ref: WFA/DPU-*/dpu/wfa.c +
+wfa_backtracing.c).
 
-Key device choices:
+Device formulations:
   * extend = sublane one-hot reduce over a precomputed next-mismatch table
     (h in sublanes, k in lanes) — no gathers, pure VPU.
-  * compute_next's lookback (s-x, s-o-e, s-e) is statically bounded, so the
-    per-score extents/flags ride in a ROLLING WINDOW loop carry with static
-    column indices — no dynamic lane indexing anywhere; the dense wavefront
-    history uses only leading-dim dynamic indexing ([S+2, P, Kp] blocks).
-  * outputs are score-major ([S+2, n, Kp] / [S+2, n]) and walked zero-copy
-    by the strided native walker (score_major=True).
+  * ALL dynamic indexing is one-hot algebra: per-score extents/flags live
+    in pair-major [P, 128] arrays indexed by score lane (reads:
+    sum(where(lane==s, w, 0)); writes: where(lane==s, new, w)); per-pair
+    wavefront reads at arbitrary (score, k) accumulate over a fori of the
+    history's leading dim.
+  * the backtrace emits RUN-LENGTH records (op, len) right-to-left into a
+    per-pair lane buffer — ~tens of bytes per pair cross D2H instead of
+    the wavefront history; the host expands runs into the reference ops
+    buffer (native.wfa_runs_to_ops) so downstream emission is unchanged.
 
-Semantics mirror ops/wfa_xla.py exactly (same reference quirks preserved);
-tests assert equality against the native oracle.
+Semantics mirror ops/wfa_xla.py + the native walker exactly (same
+reference quirks, including backtrace m-reads ignoring m_null, NULL+1
+trace arithmetic, the unconditional match-stroke writes, and trailing-gap
+insertion at the valid-location transition); tests assert equality
+against the native oracle.
 """
 
 from __future__ import annotations
@@ -37,23 +46,28 @@ I16 = jnp.int16
 NULL = -16384
 BIG = 2 ** 30
 
+# Run op codes (shared with native.aim_wfa_runs_to_ops).
+OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
+def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
+                device_cigar: bool,
                 plens_ref, tlens_ref, nmt_ref,
-                scores_ref, hm_ref, hi_ref, hd_ref,
-                klo_ref, khi_ref, fl_ref):
+                scores_ref, hm_ref, hi_ref, hd_ref, runs_ref):
     smax = cfg.max_score
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
+    S1 = smax + 1
 
     plens = plens_ref[:]            # [P, 1] i32
     tlens = tlens_ref[:]
     ak = tlens - plens              # [P, 1]
     kvec = jax.lax.broadcasted_iota(I32, (P, Kp), 1) - smax
     lane_valid = kvec <= smax       # lanes beyond K are dead
+    scol = jax.lax.broadcasted_iota(I32, (P, 128), 1)  # score lanes
 
     null16 = jnp.full((P, Kp), NULL, I16)
 
@@ -64,18 +78,19 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
     hi_ref[0] = null16
     hd_ref[0] = null16
     fl0 = 1 | (1 << 2) | (1 << 3)
-    klo_ref[0:1, :] = jnp.zeros((1, P), I32)
-    khi_ref[0:1, :] = jnp.zeros((1, P), I32)
-    fl_ref[0:1, :] = jnp.full((1, P), fl0, I32)
 
-    # Rolling metadata window: column LB-1 = current score s, column LB-1-d
-    # = score s-d.  Pre-score-0 columns start "not exists" (flags 0).
-    # Full-tile width (128 lanes) keeps the while-carry layouts legal for
-    # Mosaic; only lanes [0, LB) are meaningful.
-    col = jax.lax.broadcasted_iota(I32, (P, 128), 1)
-    klw0 = jnp.where(col == LB - 1, 0, 1)
-    khw0 = jnp.where(col == LB - 1, 0, -1)
-    flw0 = jnp.where(col == LB - 1, fl0, 0)
+    # Pair-major per-score sidecars, score = lane index.  Scores beyond the
+    # current one read flags 0 = "not exists" until written.
+    klw0 = jnp.where(scol == 0, 0, 1)
+    khw0 = jnp.where(scol == 0, 0, -1)
+    flw0 = jnp.where(scol == 0, fl0, 0)
+
+    def side(w, sx):
+        """Read sidecar w at per-pair (or scalar) score sx -> [P, 1]."""
+        return jnp.sum(jnp.where(scol == sx, w, 0), axis=1, keepdims=True)
+
+    def side_put(w, sx, val):
+        return jnp.where(scol == sx, val, w)
 
     # Mosaic only rotates 32-bit vectors; shift in int32 (values fit).
     def sl(w):  # value at lane k-1
@@ -88,16 +103,14 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
         pos = jax.lax.broadcasted_iota(I32, w.shape, 1)
         return jnp.where(pos <= Kp - 2, r, NULL)
 
-    def colslice(w, j):
-        return jax.lax.slice_in_dim(w, j, j + 1, axis=1)  # [P, 1], static j
-
+    # ======================= forward score loop =======================
     def body(state):
         s, active_i, scores, klw, khw, flw = state
         active = active_i > 0
         m = hm_ref[s].astype(I32)
-        kl = colslice(klw, LB - 1)
-        kh = colslice(khw, LB - 1)
-        fl = colslice(flw, LB - 1)
+        kl = side(klw, s)
+        kh = side(khw, s)
+        fl = side(flw, s)
         exists = (fl & 1) == 1
         m_null = ~exists | (((fl >> 1) & 1) == 1)
         inr = (kl <= kvec) & (kvec <= kh)
@@ -137,14 +150,9 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
             kl = jnp.where(shrink, klo_new, kl)
             kh = jnp.where(shrink, khi_new, kh)
             fl = jnp.where(nullify, fl | 0b1110, fl)
-            sel = col == LB - 1
-            klw = jnp.where(sel, kl, klw)
-            khw = jnp.where(sel, kh, khw)
-            flw = jnp.where(sel, fl, flw)
-            # republish score s's sidecar row post-reduce
-            klo_ref[pl.ds(s, 1), :] = kl.reshape(1, P)
-            khi_ref[pl.ds(s, 1), :] = kh.reshape(1, P)
-            fl_ref[pl.ds(s, 1), :] = fl.reshape(1, P)
+            klw = side_put(klw, s, kl)
+            khw = side_put(khw, s, kh)
+            flw = side_put(flw, s, fl)
             m_null = m_null | nullify
             inr = (kl <= kvec) & (kvec <= kh)
 
@@ -157,17 +165,15 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
 
         # ---- compute score s+1 (ref: wfa.c:275-354) ----
         s2 = s + 1
-        # Window columns for s2-d: after the conceptual shift the column of
-        # score (s2 - d) in the CURRENT window is LB - d.
-        f_sub, l_sub, h_sub = (colslice(flw, LB - x),
-                               colslice(klw, LB - x),
-                               colslice(khw, LB - x))
-        f_o, l_o, h_o = (colslice(flw, LB - go - ge),
-                         colslice(klw, LB - go - ge),
-                         colslice(khw, LB - go - ge))
-        f_e, l_e, h_e = (colslice(flw, LB - ge),
-                         colslice(klw, LB - ge),
-                         colslice(khw, LB - ge))
+        f_sub = side(flw, s2 - x)
+        l_sub = side(klw, s2 - x)
+        h_sub = side(khw, s2 - x)
+        f_o = side(flw, s2 - go - ge)
+        l_o = side(klw, s2 - go - ge)
+        h_o = side(khw, s2 - go - ge)
+        f_e = side(flw, s2 - ge)
+        l_e = side(klw, s2 - ge)
+        h_e = side(khw, s2 - ge)
         m_sub_null = ((f_sub & 1) == 0) | (((f_sub >> 1) & 1) == 1)
         m_o_null = ((f_o & 1) == 0) | (((f_o >> 1) & 1) == 1)
         i_e_null = ((f_e & 1) == 0) | (((f_e >> 2) & 1) == 1)
@@ -221,18 +227,9 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
                          | (d_out_null.astype(I32) << 3))
         kl2 = jnp.where(allnull, 1, lo)
         kh2 = jnp.where(allnull, -1, hi_)
-        klo_ref[pl.ds(s2, 1), :] = kl2.reshape(1, P)
-        khi_ref[pl.ds(s2, 1), :] = kh2.reshape(1, P)
-        fl_ref[pl.ds(s2, 1), :] = newf.reshape(1, P)
-        # Shift the window left and place score s2's metadata in lane LB-1.
-        def shift_in(w, newcol):
-            shifted = jnp.concatenate(
-                [jax.lax.slice_in_dim(w, 1, 128, axis=1),
-                 jax.lax.slice_in_dim(w, 0, 1, axis=1)], axis=1)
-            return jnp.where(col == LB - 1, newcol, shifted)
-        klw = shift_in(klw, kl2)
-        khw = shift_in(khw, kh2)
-        flw = shift_in(flw, newf)
+        klw = side_put(klw, s2, kl2)
+        khw = side_put(khw, s2, kh2)
+        flw = side_put(flw, s2, newf)
         return s2, active.astype(I32), scores, klw, khw, flw
 
     def cond(state):
@@ -242,19 +239,171 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, LB: int,
     s0 = jnp.int32(0)
     active0 = jnp.ones((P, 1), I32)
     scores0 = jnp.zeros((P, 1), I32)
-    _, active_i, scores, _, _, _ = jax.lax.while_loop(
+    _, active_i, scores, klw, khw, flw = jax.lax.while_loop(
         cond, body, (s0, active0, scores0, klw0, khw0, flw0))
     scores = jnp.where(active_i > 0, smax + 1, scores)
     scores_ref[0:1, :] = scores.reshape(1, P)
 
+    if not device_cigar:
+        runs_ref[:, :] = jnp.zeros((P, NRL), I16)
+        return
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+    # ======================= on-device backtrace =======================
+    # Mirrors native wfa_backtrace_dense (ref: wfa_backtracing.c:219-375)
+    # with per-pair lane-vector state and one-hot history reads.
+
+    def hist4(s_o, s_e, s_x):
+        """Accumulate the wavefront rows at per-pair scores s_o/s_e/s_x."""
+        init = tuple(jnp.full((P, Kp), NULL, I32) for _ in range(4))
+
+        def acc(s, carry):
+            a_mo, a_ie, a_de, a_mx = carry
+            mrow = hm_ref[s].astype(I32)
+            irow = hi_ref[s].astype(I32)
+            drow = hd_ref[s].astype(I32)
+            a_mo = jnp.where(s_o == s, mrow, a_mo)
+            a_ie = jnp.where(s_e == s, irow, a_ie)
+            a_de = jnp.where(s_e == s, drow, a_de)
+            a_mx = jnp.where(s_x == s, mrow, a_mx)
+            return a_mo, a_ie, a_de, a_mx
+
+        return jax.lax.fori_loop(0, S1, acc, init)
+
+    def lane_at(arr, kx):
+        """arr [P, Kp] at physical lane kx [P, 1] -> [P, 1] (0 if OOB)."""
+        pos = jax.lax.broadcasted_iota(I32, (P, Kp), 1)
+        return jnp.sum(jnp.where(pos == kx, arr, 0), axis=1, keepdims=True)
+
+    def meta_ok(sx, kx):
+        """m-read bounds: score >= 0, component exists, klo<=k<=khi.
+        (m_null deliberately NOT checked — ref wfa_backtracing.c:73-91.)"""
+        fl = side(flw, sx)
+        return ((sx >= 0) & ((fl & 1) == 1)
+                & (side(klw, sx) <= kx) & (kx <= side(khw, sx)))
+
+    def meta_ok_bit(sx, kx, bit):
+        fl = side(flw, sx)
+        return (meta_ok(sx, kx) & (((fl >> bit) & 1) == 0))
+
+    # Initial state (start at the alignment diagonal of the final score).
+    bt_ok = scores <= smax  # overflow pairs skip backtrace (wfa.c:399-404)
+    sc0 = jnp.where(bt_ok, scores, -1)
+    a_mo0, _, _, _ = hist4(sc0, jnp.full((P, 1), -1, I32), sc0)
+    offset = lane_at(a_mo0, ak + smax)
+    offset = jnp.where(bt_ok, offset, -1)
+    k = ak
+    score = jnp.where(bt_ok, scores, 0)
+    btype = jnp.zeros((P, 1), I32)  # 0=M 1=I 2=D
+    v = offset - k
+    h = offset
+    valid = (v > 0) & (v <= plens) & (h > 0) & (h <= tlens)
+
+    runs0 = jnp.zeros((P, 128), I32)
+    rc0 = jnp.full((P, 1), NRL - 1, I32)  # runs descend within [1, NRL)
+    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+
+    def emit(runs, rc, mask, op, length):
+        """Append a run (right-to-left) where mask & length > 0."""
+        do = mask & (length > 0)
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((rlane == rc) & do, val, runs)
+        rc = jnp.where(do, rc - 1, rc)
+        return runs, rc
+
+    def bt_body(_, st):
+        score, k, offset, btype, valid_i, runs, rc = st
+        valid = valid_i > 0
+        v = offset - k
+        h = offset
+        pre = (v > 0) & (h > 0) & (score > 0)
+        # valid-location transition: add the trailing gap
+        # (ref: wfa_backtracing.c:48-69, 249-256)
+        now_valid = (v > 0) & (v <= plens) & (h > 0) & (h <= tlens)
+        newly = pre & ~valid & now_valid
+        runs, rc = emit(runs, rc, newly & (k < ak), OP_I, ak - k)
+        runs, rc = emit(runs, rc, newly & (k > ak), OP_D, k - ak)
+        valid = valid | newly
+
+        s_o = score - go - ge
+        s_e = score - ge
+        s_x = score - x
+        a_mo, a_ie, a_de, a_mx = hist4(
+            jnp.where(pre, s_o, -1), jnp.where(pre, s_e, -1),
+            jnp.where(pre, s_x, -1))
+        not_i = btype != 1
+        not_d = btype != 2
+        is_m = btype == 0
+        del_ext = jnp.where(pre & not_i & meta_ok_bit(s_e, k + 1, 3),
+                            lane_at(a_de, k + 1 + smax), NULL)
+        del_open = jnp.where(pre & not_i & meta_ok(s_o, k + 1),
+                             lane_at(a_mo, k + 1 + smax), NULL)
+        # the +1 applies to the RAW stored value even when it is NULL
+        # (ref: wfa_backtracing.c:110-166)
+        ins_ext = jnp.where(pre & not_d & meta_ok_bit(s_e, k - 1, 2),
+                            lane_at(a_ie, k - 1 + smax) + 1, NULL)
+        ins_open = jnp.where(pre & not_d & meta_ok(s_o, k - 1),
+                             lane_at(a_mo, k - 1 + smax) + 1, NULL)
+        misms = jnp.where(pre & is_m & meta_ok(s_x, k),
+                          lane_at(a_mx, k + smax) + 1, NULL)
+        max_all = jnp.maximum(misms, jnp.maximum(
+            jnp.maximum(ins_ext, ins_open), jnp.maximum(del_ext, del_open)))
+
+        # match stroke (emitted regardless of valid_location — ref :198-201)
+        mstroke = pre & is_m
+        nmatch = offset - max_all
+        runs, rc = emit(runs, rc, mstroke, OP_M, nmatch)
+        offset = jnp.where(mstroke, max_all, offset)
+        v2 = offset - k
+        h2 = offset
+        brk = mstroke & ((v2 <= 0) | (h2 <= 0))
+        go_ = pre & ~brk
+
+        b0 = go_ & (max_all == del_ext)
+        b1 = go_ & ~b0 & (max_all == del_open)
+        b2 = go_ & ~b0 & ~b1 & (max_all == ins_ext)
+        b3 = go_ & ~b0 & ~b1 & ~b2 & (max_all == ins_open)
+        b4 = go_ & ~b0 & ~b1 & ~b2 & ~b3 & (max_all == misms)
+        one = jnp.ones((P, 1), I32)
+        runs, rc = emit(runs, rc, (b0 | b1) & valid, OP_D, one)
+        runs, rc = emit(runs, rc, (b2 | b3) & valid, OP_I, one)
+        runs, rc = emit(runs, rc, b4 & valid, OP_X, one)
+        score = jnp.where(b0 | b2, s_e,
+                          jnp.where(b1 | b3, s_o,
+                                    jnp.where(b4, s_x, score)))
+        k = k + jnp.where(b0 | b1, 1, 0) - jnp.where(b2 | b3, 1, 0)
+        offset = offset - jnp.where(b2 | b3 | b4, 1, 0)
+        btype = jnp.where(b0, 2, jnp.where(b2, 1,
+                          jnp.where(b1 | b3, 0, btype)))
+        return score, k, offset, btype, valid.astype(I32), runs, rc
+
+    score, k, offset, btype, valid_i, runs, rc = jax.lax.fori_loop(
+        0, smax + 1, bt_body,
+        (score, k, offset, btype, valid.astype(I32), runs0, rc0))
+
+    # final strokes (ref: wfa_backtracing.c:354-373)
+    v = offset - k
+    h = offset
+    fin_m = bt_ok & (score == 0)
+    runs, rc = emit(runs, rc, fin_m, OP_M, offset)
+    runs, rc = emit(runs, rc, bt_ok & ~fin_m, OP_D, v)
+    runs, rc = emit(runs, rc, bt_ok & ~fin_m, OP_I, h)
+    # lane 0 holds the final cursor (runs live in lanes rc+1..NRL-1)
+    runs = jnp.where(rlane == 0, rc, runs)
+    runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret",
+                                             "device_cigar"))
 def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
-                       interpret: bool = False):
-    """Pallas WFA forward.  Output dict mirrors wfa_xla.wfa_forward but in
-    the score-major layout:
-      scores [n] i32; hist_m/i/d [S+2, n, Kp] i16; klo/khi/flags [S+2, n] i32
-    (walk with native.wfa_backtrace_batch(..., score_major=True)).
+                       interpret: bool = False, device_cigar: bool = True):
+    """Pallas WFA forward (+ on-device backtrace).
+
+    Returns {"scores": [n] i32} plus, when cfg.backtrace:
+      device_cigar=True:  {"runs": [n, NRL] i16} — run-length CIGAR records,
+        lane 0 = final cursor rc, runs in lanes rc+1..NRL-1
+        (host: native.wfa_runs_to_ops)
+      device_cigar=False: packed history as in wfa_xla (score-major) for
+        the host walker — kept for cross-validation.
     """
     smax = cfg.max_score
     R = cfg.read_size
@@ -263,10 +412,19 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Kp = _round_up(K, 128)
     Rp = _round_up(R + 2, 8)
     S2 = smax + 2
-    # Rolling-window width: the shift moves score s-d to column LB-1-d; the
-    # deepest static lookback used is LB - min_col >= 1 -> LB > go+ge, x.
-    LB = max(cfg.mismatch, cfg.gap_o + cfg.gap_e, cfg.gap_e) + 1
+    NRL = min(128, _round_up(2 * smax + 10, 8))
     P = 128 if Kp <= 128 else 64
+    dc = bool(device_cigar and cfg.backtrace)
+
+    # Pad the batch to a tile multiple (zero-length pairs finish at score 0).
+    n_orig = n
+    if n % P:
+        padn = _round_up(n, P) - n
+        pats = jnp.pad(pats, ((0, padn), (0, 0)))
+        txts = jnp.pad(txts, ((0, padn), (0, 0)))
+        plens = jnp.pad(plens, (0, padn))
+        tlens = jnp.pad(tlens, (0, padn))
+        n = n + padn
 
     nm = build_nm_table(pats, txts, plens.astype(I32), tlens.astype(I32),
                         smax, R)                       # [n, K, R+1] i16
@@ -279,11 +437,9 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist m
         jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist i
         jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist d
-        jax.ShapeDtypeStruct((S2, n), I32),          # klo
-        jax.ShapeDtypeStruct((S2, n), I32),          # khi
-        jax.ShapeDtypeStruct((S2, n), I32),          # flags
+        jax.ShapeDtypeStruct((n, NRL), I16),         # CIGAR runs
     )
-    kernel = functools.partial(_wfa_kernel, cfg, P, Kp, Rp, LB)
+    kernel = functools.partial(_wfa_kernel, cfg, P, Kp, Rp, NRL, dc)
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -301,23 +457,22 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S2, P, Kp), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, NRL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         interpret=interpret,
     )(plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1), nm_t)
-    scores, hm, hi, hd, klo, khi, fl = res
-    out = {"scores": scores[0]}
+    scores, hm, hi, hd, runs = res
+    out = {"scores": scores[0, :n_orig]}
     if cfg.backtrace:
-        # Slice the lane padding (Kp -> K) and the scratch score slot off
-        # on-device: the host only ever walks [0, S+1) x [0, K) and D2H
-        # bandwidth is precious.
-        s1 = smax + 1
-        out["packed_hist"] = jnp.concatenate(
-            [hm[:s1, :, :K], hi[:s1, :, :K], hd[:s1, :, :K]], axis=2)
-        out["packed_meta"] = jnp.stack(
-            [klo[:s1].astype(I16), khi[:s1].astype(I16),
-             fl[:s1].astype(I16)], axis=2)
+        if dc:
+            out["runs"] = runs[:n_orig]
+        else:
+            # History mode for cross-validation: rebuild the sidecars from
+            # the dense rows is not possible here (they lived in-kernel);
+            # use the XLA kernel for history-mode needs instead.
+            raise NotImplementedError(
+                "pallas history mode removed; use device_cigar=True or the "
+                "XLA backend")
     return out

@@ -1,6 +1,7 @@
 """Pallas TPU kernels in interpreter mode vs the native oracle —
 the CPU-simulator analogue of the reference's functional simulator
-(SURVEY.md §4)."""
+(SURVEY.md §4).  Covers the full on-device pipeline including the
+device-side CIGAR backtrace (run-length records)."""
 
 import numpy as np
 import pytest
@@ -27,14 +28,23 @@ def test_wfa_pallas_interpret_matches_oracle(adaptive):
                                       gap_o=4, gap_e=1, max_score=SMAX,
                                       adaptive=adaptive, backtrace=True)
     np.testing.assert_array_equal(sc, osc)
-    K = 2 * SMAX + 1
-    ph = np.asarray(out["packed_hist"])
-    pm = np.asarray(out["packed_meta"])
-    wops, wb, we = nat.wfa_backtrace_batch(
-        ph[:, :, :K], ph[:, :, K:2 * K], ph[:, :, 2 * K:3 * K],
-        pm[:, :, 0].astype(np.int32), pm[:, :, 1].astype(np.int32),
-        pm[:, :, 2].astype(np.uint8), sc, pats, txts, pl, tl,
-        mismatch=3, gap_o=4, gap_e=1, max_score=SMAX, score_major=True)
+    wops, wb, we = nat.wfa_runs_to_ops(np.asarray(out["runs"]), sc, pl, tl,
+                                       max_score=SMAX, max_ops=2 * R)
     for i in range(len(PAIRS)):
         assert cigar_of(oops[i], ob[i], oe[i]) == \
             cigar_of(wops[i], wb[i], we[i]), (i, PAIRS[i])
+
+
+def test_wfa_pallas_interpret_overflow_pairs():
+    """Pairs exceeding MAX_SCORE must report MAX_SCORE+1 with a '1M' cigar
+    (the HBM-tier reference behavior, ref: wfa.c:399-404)."""
+    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    pats, txts, pl, tl = pack([("AAAAAAAA", "TTTTTTTT")] * 8, 16)
+    cfg = AlignConfig(algo="wfa", read_size=16, max_score=5, backtrace=True)
+    out = wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    sc = np.asarray(out["scores"]).astype(np.int32)
+    assert (sc == 6).all()
+    wops, wb, we = nat.wfa_runs_to_ops(np.asarray(out["runs"]), sc, pl, tl,
+                                       max_score=5, max_ops=32)
+    for i in range(8):
+        assert cigar_of(wops[i], wb[i], we[i]) == b"M"  # prints as "1M"
