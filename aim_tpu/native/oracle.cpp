@@ -178,7 +178,8 @@ extern "C" void aim_nw_align(const uint8_t *patterns, const uint8_t *texts,
 }
 
 // Batch walker over device-produced NW direction bits.
-// bits layout: [n, h_stride rows, w_stride cols] uint8; row h, lane v.
+// bits layout: [n, h_stride rows, w_stride bytes] uint8 with 4 two-bit
+// cell codes per byte (cell v at byte v>>2, shift (v&3)*2).
 extern "C" void aim_nw_traceback_bits(const uint8_t *bits, long h_stride, long w_stride,
                            const int32_t *plens, const int32_t *tlens, long n,
                            int max_ops, char *ops, int32_t *begin_off,
@@ -192,7 +193,7 @@ extern "C" void aim_nw_traceback_bits(const uint8_t *bits, long h_stride, long w
     int op = max_operations - 1;
     int h = tlen, v = plen;
     while (h > 0 && v > 0) {
-      uint8_t code = b[h * w_stride + v];
+      uint8_t code = (b[h * w_stride + (v >> 2)] >> ((v & 3) * 2));
       switch (code & 3) {
         case 0: o[op--] = 'D'; --v; break;
         case 1: o[op--] = 'I'; --h; break;
@@ -349,7 +350,7 @@ extern "C" void aim_swg_traceback_bits(const uint8_t *bits, long h_stride, long 
     int h = tlen, v = plen;
     int layer = 0;
     while (h > 0 && v > 0) {
-      uint8_t code = b[h * w_stride + v];
+      uint8_t code = (b[h * w_stride + (v >> 1)] >> ((v & 1) * 4)) & 0xF;
       if (layer == 2) {
         o[op--] = 'D';
         if (code & 4) layer = 0;

@@ -107,8 +107,14 @@ def nw_forward(pats, txts, plens, tlens, *, cfg: AlignConfig):
         "needs_fallback": multi_alias | overflow,
     }
     if cfg.backtrace:
-        # bits_rows: [R, n, W] for h = 1..R; prepend an unused h=0 row.
+        # bits_rows: [R, n, W] for h = 1..R; prepend an unused h=0 row,
+        # then pack 4 two-bit codes per byte (D2H bytes are precious).
         bits = jnp.concatenate(
             [jnp.zeros((1, n, W), jnp.uint8), bits_rows], axis=0)
-        out["bits"] = jnp.transpose(bits, (1, 0, 2))
+        bits = jnp.transpose(bits, (1, 0, 2))
+        w4 = -(-W // 4)
+        padded = jnp.pad(bits, ((0, 0), (0, 0), (0, 4 * w4 - W)))
+        quads = padded.reshape(n, R + 1, w4, 4).astype(jnp.uint32)
+        shifts = (jnp.arange(4, dtype=jnp.uint32) * 2)[None, None, None, :]
+        out["bits"] = jnp.sum(quads << shifts, axis=3).astype(jnp.uint8)
     return out

@@ -129,7 +129,13 @@ def swg_forward(pats, txts, plens, tlens, *, cfg: AlignConfig):
         "needs_fallback": multi_alias | overflow,
     }
     if cfg.backtrace:
+        # Pack 2 four-bit codes per byte.
         bits = jnp.concatenate(
             [jnp.zeros((1, n, W), jnp.uint8), bits_rows], axis=0)
-        out["bits"] = jnp.transpose(bits, (1, 0, 2))
+        bits = jnp.transpose(bits, (1, 0, 2))
+        w2 = -(-W // 2)
+        padded = jnp.pad(bits, ((0, 0), (0, 0), (0, 2 * w2 - W)))
+        duos = padded.reshape(n, R + 1, w2, 2).astype(jnp.uint32)
+        shifts = (jnp.arange(2, dtype=jnp.uint32) * 4)[None, None, None, :]
+        out["bits"] = jnp.sum(duos << shifts, axis=3).astype(jnp.uint8)
     return out

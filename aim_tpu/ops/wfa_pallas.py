@@ -55,9 +55,13 @@ def _round_up(x, m):
 
 
 def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
-                device_cigar: bool,
+                K: int,
                 plens_ref, tlens_ref, nmt_ref,
-                scores_ref, hm_ref, hi_ref, hd_ref, runs_ref):
+                scores_ref, runs_ref,
+                hm_ref, hi_ref, hd_ref):
+    # hm/hi/hd are VMEM *scratch*: the wavefront history lives and dies
+    # on-chip (the backtrace below consumes it) — no HBM writeback, which
+    # was the kernel's dominant cost as output blocks.
     smax = cfg.max_score
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
     S1 = smax + 1
@@ -116,12 +120,20 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
         inr = (kl <= kvec) & (kvec <= kh)
 
         # ---- extend (ref: wfa.c:193-215): offset -> first mismatch >=
-        # offset on this diagonal, via a sublane one-hot reduce ----
+        # offset on this diagonal.  Static loop over the (few) diagonals;
+        # each is one lane one-hot reduce over its compact NM row.
         do_ext = active & ~m_null & inr & (m >= 0)
         idx = jnp.clip(m, 0, Rp - 1)
-        h_iota = jax.lax.broadcasted_iota(I32, (P, Rp, Kp), 1)
-        hit = h_iota == idx[:, None, :]
-        ext = jnp.sum(jnp.where(hit, nmt_ref[:].astype(I32), 0), axis=1)
+        riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
+        ext = m
+        for kk in range(K):
+            sel_k = kvec == (kk - smax)
+            within = (kl <= kk - smax) & (kk - smax <= kh)
+            off_k = jnp.sum(jnp.where(sel_k, idx, 0), axis=1, keepdims=True)
+            nm_k = nmt_ref[:, kk, :].astype(I32)
+            e_k = jnp.sum(jnp.where(riota == off_k, nm_k, 0), axis=1,
+                          keepdims=True)
+            ext = jnp.where(sel_k & within, e_k, ext)
         offi = jnp.where(do_ext, ext, m)
         hm_ref[s] = offi.astype(I16)
 
@@ -232,19 +244,16 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
         flw = side_put(flw, s2, newf)
         return s2, active.astype(I32), scores, klw, khw, flw
 
-    def cond(state):
-        s, active_i = state[0], state[1]
-        return (s <= smax) & (jnp.max(active_i) > 0)
-
     s0 = jnp.int32(0)
     active0 = jnp.ones((P, 1), I32)
     scores0 = jnp.zeros((P, 1), I32)
-    _, active_i, scores, klw, khw, flw = jax.lax.while_loop(
-        cond, body, (s0, active0, scores0, klw0, khw0, flw0))
+    _, active_i, scores, klw, khw, flw = jax.lax.fori_loop(
+        0, smax + 1, lambda _, st: body(st),
+        (s0, active0, scores0, klw0, khw0, flw0))
     scores = jnp.where(active_i > 0, smax + 1, scores)
     scores_ref[0:1, :] = scores.reshape(1, P)
 
-    if not device_cigar:
+    if not cfg.backtrace:
         runs_ref[:, :] = jnp.zeros((P, NRL), I16)
         return
 
@@ -409,12 +418,16 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     R = cfg.read_size
     n = pats.shape[0]
     K = 2 * smax + 1
+    K8 = _round_up(K, 8)
     Kp = _round_up(K, 128)
     Rp = _round_up(R + 2, 8)
     S2 = smax + 2
     NRL = min(128, _round_up(2 * smax + 10, 8))
     P = 128 if Kp <= 128 else 64
-    dc = bool(device_cigar and cfg.backtrace)
+    nm_dtype = jnp.int8 if R + 1 < 128 else I16
+    if not (device_cigar or not cfg.backtrace):
+        raise NotImplementedError(
+            "pallas history mode removed; use the XLA backend")
 
     # Pad the batch to a tile multiple (zero-length pairs finish at score 0).
     n_orig = n
@@ -428,51 +441,39 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
     nm = build_nm_table(pats, txts, plens.astype(I32), tlens.astype(I32),
                         smax, R)                       # [n, K, R+1] i16
-    nm_t = jnp.transpose(
-        jnp.pad(nm, ((0, 0), (0, Kp - K), (0, Rp - (R + 1)))), (0, 2, 1))
+    nm_c = jnp.pad(nm, ((0, 0), (0, K8 - K),
+                        (0, Rp - (R + 1)))).astype(nm_dtype)
 
     grid = (n // P,)
     out_shapes = (
         jax.ShapeDtypeStruct((1, n), I32),           # scores
-        jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist m
-        jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist i
-        jax.ShapeDtypeStruct((S2, n, Kp), I16),      # hist d
         jax.ShapeDtypeStruct((n, NRL), I16),         # CIGAR runs
     )
-    kernel = functools.partial(_wfa_kernel, cfg, P, Kp, Rp, NRL, dc)
+    kernel = functools.partial(_wfa_kernel, cfg, P, Kp, Rp, NRL, K)
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, Rp, Kp), lambda i: (i, 0, 0),
+            pl.BlockSpec((P, K8, Rp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, P), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P, Kp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P, Kp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S2, P, Kp), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((P, NRL), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((S2, P, Kp), I16),   # hist m (on-chip only)
+            pltpu.VMEM((S2, P, Kp), I16),   # hist i
+            pltpu.VMEM((S2, P, Kp), I16),   # hist d
+        ],
         interpret=interpret,
-    )(plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1), nm_t)
-    scores, hm, hi, hd, runs = res
+    )(plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1), nm_c)
+    scores, runs = res
     out = {"scores": scores[0, :n_orig]}
     if cfg.backtrace:
-        if dc:
-            out["runs"] = runs[:n_orig]
-        else:
-            # History mode for cross-validation: rebuild the sidecars from
-            # the dense rows is not possible here (they lived in-kernel);
-            # use the XLA kernel for history-mode needs instead.
-            raise NotImplementedError(
-                "pallas history mode removed; use device_cigar=True or the "
-                "XLA backend")
+        out["runs"] = runs[:n_orig]
     return out
