@@ -161,53 +161,50 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         return jax.device_put(a) if device_sharding is None \
             else jax.device_put(a, device_sharding)
 
-    # Double-buffered pipeline: jax dispatch is async, so batch k+1's
-    # transfers + kernel overlap batch k's retrieval and host traceback
-    # (the reference is strictly sequential: one push, one launch, one
-    # pull — host.c:246-326; overlap is free throughput here).
-    depth = 4 if cfg.algo == ALGO_WFA and cfg.max_score <= 63 else 2
-    inflight: list = []
+    # This runtime (TPU behind the axon tunnel) punishes async overlap:
+    # queued/chained dispatches fall into a ~20-30 ms/dispatch slow path,
+    # while upload-everything -> execute-and-block-each -> one batched
+    # device_get stays on the fast path (measured; see PERFNOTES.md).  The
+    # reference is strictly sequential too (one push, one launch, one
+    # pull - host.c:246-326).
+    starts = list(range(0, n, bs))
 
-    def launch(lo):
-        hi = min(lo + bs, n)
-        chunk = slice(lo, hi)
+    t0 = time.perf_counter()
+    uploads = []
+    for lo in starts:
+        chunk = slice(lo, min(lo + bs, n))
         cp, ct, cpl, ctl = _pad_batch(
             [pats[chunk], txts[chunk], plens[chunk], tlens[chunk]], bs)
-        t0 = time.perf_counter()
-        dp, dt, dpl, dtl = put(cp), put(ct), put(cpl), put(ctl)
-        out = fwd(dp, dt, dpl, dtl, cfg=cfg)
-        res.t_load += time.perf_counter() - t0  # dispatch cost only
-        return lo, hi, out
+        uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
+    jax.block_until_ready(uploads)
+    res.t_load += time.perf_counter() - t0
 
-    starts = list(range(0, n, bs))
-    for s0 in starts[:depth]:
-        inflight.append(launch(s0))
-    next_i = depth
-    while inflight:
-        lo, hi, out = inflight.pop(0)
+    outs = []
+    for (dp, dt, dpl, dtl) in uploads:
+        t1 = time.perf_counter()
+        out = fwd(dp, dt, dpl, dtl, cfg=cfg)
+        jax.block_until_ready(out)
+        res.t_kernel += time.perf_counter() - t1
+        outs.append(out)
+
+    t2 = time.perf_counter()
+    flat, tree = jax.tree.flatten(outs)
+    host_flat = jax.device_get(flat)
+    hosts = jax.tree.unflatten(tree, host_flat)
+    res.t_retrieve += time.perf_counter() - t2
+
+    score_major = getattr(fwd, "score_major", False)
+    for lo, out in zip(starts, hosts):
+        hi = min(lo + bs, n)
         chunk = slice(lo, hi)
         csize = hi - lo
-        t1 = time.perf_counter()
-        jax.block_until_ready(out)
-        t2 = time.perf_counter()
-        # Pallas kernels emit history score-major ([S', bs, ...]); the pair
-        # axis is then axis 1 for everything but the scores.
-        score_major = getattr(fwd, "score_major", False)
         host = {}
         for k, v in out.items():
-            # The TPU may hand back its device-preferred layout (e.g. pair
-            # axis minor); densify so the walker's k rows are contiguous.
-            a = np.ascontiguousarray(np.asarray(v))
-            # score-major history stays unsliced (the strided walker only
-            # visits the first csize pairs); pair-major slices normally.
+            # Densify so the walker's k rows are contiguous; score-major
+            # history stays unsliced (the strided walker only visits the
+            # first csize pairs), pair-major slices normally.
+            a = np.ascontiguousarray(v)
             host[k] = a if (score_major and k != "scores") else a[:csize]
-        t3 = time.perf_counter()
-        res.t_kernel += t2 - t1
-        res.t_retrieve += t3 - t2
-        # Keep the pipe full: launch the next batch before host-side work.
-        if next_i < len(starts):
-            inflight.append(launch(starts[next_i]))
-            next_i += 1
 
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")

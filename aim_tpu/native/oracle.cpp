@@ -808,7 +808,8 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
       for (long j = start; j < nrl; ++j) {
         int len = r[j] & 0xFFF;
         char c = OPC[(r[j] >> 12) & 3];
-        for (int t = 0; t < len; ++t) o[pos++] = c;
+        std::memset(o + pos, c, (size_t)len);
+        pos += len;
       }
     }
     begin_off[i] = begin;

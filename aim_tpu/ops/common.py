@@ -21,7 +21,11 @@ def min_plus_scan(z: jnp.ndarray, slope: int, width: int) -> jnp.ndarray:
     """
     ramp = jax.lax.broadcasted_iota(jnp.int32, z.shape, z.ndim - 1) * slope
     x = z - ramp
-    big = jnp.int32(2 ** 30)
+    # Sentinel above any live DP value, but far below 2**29: this runtime's
+    # dispatch path degrades ~500x for programs that materialize int32
+    # buffers with values >= ~2**29 (measured; threshold between 2**28 and
+    # 2**30), so every device-side "infinity" in this codebase stays <= 2**24.
+    big = jnp.int32(2 ** 24)
     shift = 1
     while shift < width:
         shifted = jnp.roll(x, shift, axis=-1)

@@ -44,7 +44,9 @@ from aim_tpu.ops.wfa_xla import build_nm_table
 I32 = jnp.int32
 I16 = jnp.int16
 NULL = -16384
-BIG = 2 ** 30
+# Device-side "infinity": values >= ~2**29 in any materialized buffer flip
+# this runtime into a ~500x slower dispatch mode (see ops/common.py).
+BIG = 2 ** 20
 
 # Run op codes (shared with native.aim_wfa_runs_to_ops).
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3

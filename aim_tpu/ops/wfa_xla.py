@@ -38,7 +38,10 @@ from aim_tpu.config import AlignConfig
 I16 = jnp.int16
 I32 = jnp.int32
 NULL16 = jnp.int16(-16384)
-BIG = jnp.int32(2 ** 30)
+# Device-side "infinity": must stay <= 2**24 (values >= ~2**29 in any
+# materialized buffer flip this runtime into a ~500x slower dispatch mode —
+# measured; see ops/common.py).
+BIG = jnp.int32(2 ** 20)
 
 
 def build_nm_table(pats, txts, plens, tlens, smax: int, read_size: int):
@@ -58,10 +61,13 @@ def build_nm_table(pats, txts, plens, tlens, smax: int, read_size: int):
     ok = (v[None] >= 0) & (v[None] < plens[:, None, None]) \
         & (h[None, None] < tlens[:, None, None])
     match = ok & (pg == txts.astype(I32)[:, None, :])
-    arr = jnp.where(match, BIG, h[None, None])
+    # R as the match-fill: since R > any mismatch position h, the reverse
+    # cumulative-min yields the first mismatch position (or R if none) with
+    # no post-clip and no large sentinel values (see BIG note above).
+    arr = jnp.where(match, R, h[None, None])
     arr = jnp.concatenate([arr, jnp.full((n, K, 1), R, I32)], axis=2)
     nm = jax.lax.associative_scan(jnp.minimum, arr, reverse=True, axis=2)
-    return jnp.minimum(nm, R).astype(I16)           # [n, K, R+1]
+    return nm.astype(I16)                           # [n, K, R+1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
