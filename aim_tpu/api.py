@@ -62,21 +62,19 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     mesh = device_sharding.mesh
                     inner = fn
 
-                    def smfn(pats, txts, plens, tlens, *, cfg):
+                    def smfn(pats, txts, plens, tlens, *, cfg, **kw):
                         def one(*args):
-                            return inner(*args, cfg=cfg)
-                        out_specs = {"scores": P("pairs")}
-                        if cfg.backtrace:
-                            out_specs["runs"] = P("pairs", None)
+                            return inner(*args, cfg=cfg, **kw)
                         return shard_map(
                             one, mesh=mesh,
                             in_specs=(P("pairs"), P("pairs"),
                                       P("pairs"), P("pairs")),
-                            out_specs=out_specs,
+                            out_specs={"packed_runs": P("pairs", None)},
                             check_rep=False)(pats, txts, plens, tlens)
 
-                    smfn.score_major = getattr(fn, "score_major", False)
+                    smfn.supports_packed = True
                     return smfn
+                fn.supports_packed = True
                 return fn
         except ImportError:
             pass
@@ -169,12 +167,22 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     # pull - host.c:246-326).
     starts = list(range(0, n, bs))
 
+    # 2-bit-pack the sequence uploads when the batch alphabet allows it
+    # and the backend can unpack on device (H2D is the dominant cost on
+    # this relay; PERFNOTES.md §2).
+    up_pats, up_txts, packed = pats, txts, False
+    fwd_kw = {}
+    if getattr(fwd, "supports_packed", False):
+        from aim_tpu.ops.wfa_pallas import pack_seqs
+        up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
+        fwd_kw["packed"] = packed
+
     t0 = time.perf_counter()
     uploads = []
     for lo in starts:
         chunk = slice(lo, min(lo + bs, n))
         cp, ct, cpl, ctl = _pad_batch(
-            [pats[chunk], txts[chunk], plens[chunk], tlens[chunk]], bs)
+            [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]], bs)
         uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
     jax.block_until_ready(uploads)
     res.t_load += time.perf_counter() - t0
@@ -182,7 +190,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     outs = []
     for (dp, dt, dpl, dtl) in uploads:
         t1 = time.perf_counter()
-        out = fwd(dp, dt, dpl, dtl, cfg=cfg)
+        out = fwd(dp, dt, dpl, dtl, cfg=cfg, **fwd_kw)
         jax.block_until_ready(out)
         res.t_kernel += time.perf_counter() - t1
         outs.append(out)
@@ -193,27 +201,24 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     hosts = jax.tree.unflatten(tree, host_flat)
     res.t_retrieve += time.perf_counter() - t2
 
-    score_major = getattr(fwd, "score_major", False)
     for lo, out in zip(starts, hosts):
         hi = min(lo + bs, n)
         chunk = slice(lo, hi)
         csize = hi - lo
-        host = {}
-        for k, v in out.items():
-            # Densify so the walker's k rows are contiguous; score-major
-            # history stays unsliced (the strided walker only visits the
-            # first csize pairs), pair-major slices normally.
-            a = np.ascontiguousarray(v)
-            host[k] = a if (score_major and k != "scores") else a[:csize]
+        host = {k: np.ascontiguousarray(v)[:csize] for k, v in out.items()}
+        if "packed_runs" in host:
+            # Pallas packed record: lane 0 = cursor | score << 8.
+            host["scores"] = (
+                (host["packed_runs"][:, 0].astype(np.int32) >> 8) & 0xFF)
 
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
-            if cfg.algo == ALGO_WFA and "runs" in host:
+            if cfg.algo == ALGO_WFA and "packed_runs" in host:
                 # The Pallas kernel backtraced on device; expand its
                 # run-length records into the reference ops buffers.
                 o, b, e = native.wfa_runs_to_ops(
-                    host["runs"][:csize], host["scores"], plens[chunk],
+                    host["packed_runs"], host["scores"], plens[chunk],
                     tlens[chunk], max_score=cfg.max_score, max_ops=max_ops)
             elif cfg.algo == ALGO_WFA:
                 # Unpack the two transfer arrays into strided views (the
@@ -227,7 +232,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
                     pm[:, :, 2].astype(np.uint8), host["scores"],
                     pats[chunk], txts[chunk], plens[chunk], tlens[chunk],
                     mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
-                    max_score=cfg.max_score, score_major=score_major)
+                    max_score=cfg.max_score)
             else:
                 walker = (native.nw_traceback_bits if cfg.algo == ALGO_NW
                           else native.swg_traceback_bits)

@@ -799,7 +799,7 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
     int begin = max_operations - 1;
     if (scores[i] <= max_score) {
       const int16_t *r = runs + i * nrl;
-      long start = r[0] + 1;
+      long start = (r[0] & 0xFF) + 1;  // lane 0 = cursor | score << 8
       if (start < 1) start = 1;
       long total = 0;
       for (long j = start; j < nrl; ++j) total += r[j] & 0xFFF;

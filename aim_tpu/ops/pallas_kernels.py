@@ -11,12 +11,15 @@ from aim_tpu.config import ALGO_WFA, AlignConfig
 
 
 def forward_fn(cfg: AlignConfig):
-    if cfg.algo == ALGO_WFA and cfg.variant == "vmem" and cfg.max_score <= 63:
-        from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    if cfg.algo == ALGO_WFA and cfg.variant == "vmem":
+        from aim_tpu.ops.wfa_pallas import vmem_fit, wfa_forward_pallas
 
-        def fn(*args, **kw):
-            return wfa_forward_pallas(*args, **kw)
+        # The packed runs record needs <= 128 emit lanes and an 8-bit
+        # score field (lane 0 = cursor | score << 8), and the fused
+        # kernel's scratch must fit VMEM (PERFNOTES.md §3).
+        if cfg.max_score <= 61 and vmem_fit(cfg):
+            def fn(*args, **kw):
+                return wfa_forward_pallas(*args, **kw)
 
-        fn.score_major = True
-        return fn
+            return fn
     return None

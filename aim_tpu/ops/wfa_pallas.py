@@ -1,26 +1,31 @@
 """WFA / WFA-adaptive — Pallas TPU kernel (VMEM-resident tier) with
 on-device CIGAR backtrace.
 
-One fused kernel per pair tile runs the whole alignment: the wavefront
-forward pass (extend -> reduce -> end-check -> compute-next) AND the CIGAR
-backtrace, with the dense history resident in VMEM/HBM output blocks that
-never leave the device — the TPU shape of the reference's DPU design where
-both the score loop and the backtrace run on the DPU and only (score,
-operations) records return to the host (ref: WFA/DPU-*/dpu/wfa.c +
-wfa_backtracing.c).
+ONE fused kernel per pair tile runs the whole alignment: the per-diagonal
+next-mismatch (NM) table build, the wavefront forward pass (extend ->
+reduce -> end-check -> compute-next), AND the CIGAR backtrace — with all
+alignment state resident in VMEM scratch that never leaves the chip.  This
+is the TPU shape of the reference's DPU design where the score loop and
+the backtrace both run on the DPU and only (score, operations) records
+return to the host (ref: WFA/DPU-*/dpu/wfa.c + wfa_backtracing.c).
 
 Device formulations:
-  * extend = sublane one-hot reduce over a precomputed next-mismatch table
-    (h in sublanes, k in lanes) — no gathers, pure VPU.
+  * the extend char loop (ref: wfa.c:193-215) becomes a gather-free lookup
+    into a per-(pair, diagonal) NM table built IN-KERNEL from the packed
+    sequences: per diagonal k, a static lane roll aligns pattern[h-k] with
+    text[h]; a log2(R) suffix-min turns the mismatch mask into "first
+    mismatch position >= h".  Building it on-chip (vs streaming a
+    precomputed [n, K, R] table from HBM) makes the whole program a single
+    dispatch, which matters on this relay runtime (PERFNOTES.md §1).
   * ALL dynamic indexing is one-hot algebra: per-score extents/flags live
     in pair-major [P, 128] arrays indexed by score lane (reads:
     sum(where(lane==s, w, 0)); writes: where(lane==s, new, w)); per-pair
     wavefront reads at arbitrary (score, k) accumulate over a fori of the
     history's leading dim.
   * the backtrace emits RUN-LENGTH records (op, len) right-to-left into a
-    per-pair lane buffer — ~tens of bytes per pair cross D2H instead of
-    the wavefront history; the host expands runs into the reference ops
-    buffer (native.wfa_runs_to_ops) so downstream emission is unchanged.
+    per-pair lane buffer; the end score rides in lane 0's high byte —
+    ~tens of bytes per pair cross D2H instead of the wavefront history
+    (native.wfa_runs_to_ops expands them into the reference ops buffer).
 
 Semantics mirror ops/wfa_xla.py + the native walker exactly (same
 reference quirks, including backtrace m-reads ignoring m_null, NULL+1
@@ -39,7 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.wfa_xla import build_nm_table
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -56,15 +60,28 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def runs_lanes(smax: int) -> int:
+    """Lane count of the packed runs record.  Worst case run count: the
+    backtrace loop runs smax+1 iterations emitting <= 2 runs each (match
+    stroke + one op), plus one trailing-gap run at the valid-location
+    transition, plus <= 2 final strokes; lane 0 holds cursor|score<<8."""
+    return _round_up(2 * smax + 6, 8)
+
+
+def unpack_scores(packed_runs) -> jnp.ndarray:
+    """Host/device-side: extract scores from the packed runs lane 0."""
+    return (packed_runs[:, 0].astype(jnp.int32) >> 8) & 0xFF
+
+
 def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
                 K: int,
-                plens_ref, tlens_ref, nmt_ref,
-                scores_ref, runs_ref,
-                hm_ref, hi_ref, hd_ref):
-    # hm/hi/hd are VMEM *scratch*: the wavefront history lives and dies
-    # on-chip (the backtrace below consumes it) — no HBM writeback, which
-    # was the kernel's dominant cost as output blocks.
+                pats_ref, txts_ref, plens_ref, tlens_ref,
+                runs_ref,
+                nm_ref, hm_ref, hi_ref, hd_ref):
+    # nm/hm/hi/hd are VMEM *scratch*: the NM table and wavefront history
+    # live and die on-chip — no HBM traffic beyond sequences in / runs out.
     smax = cfg.max_score
+    R = cfg.read_size
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
     S1 = smax + 1
 
@@ -76,6 +93,33 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
     scol = jax.lax.broadcasted_iota(I32, (P, 128), 1)  # score lanes
 
     null16 = jnp.full((P, Kp), NULL, I16)
+    nm_dtype = nm_ref.dtype
+
+    # ---- in-kernel NM table (ref extend loop's lookup structure) ----
+    # NM[k][p, h] = first h' >= h failing the match condition
+    # (v'=h'-k in [0,plen), h' in [0,tlen), pattern[v']==text[h']);
+    # lanes h in (tlen..Rp) hold h itself, so offsets past the text (which
+    # the reference's while-loop leaves unchanged) read back unchanged.
+    pat32 = pats_ref[:].astype(I32)     # [P, Rp]
+    txt32 = txts_ref[:].astype(I32)
+    h_iota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
+    log_shifts = []
+    sh = 1
+    while sh < Rp:
+        log_shifts.append(sh)
+        sh *= 2
+    for kk in range(K):
+        kd = kk - smax
+        pat_sh = pltpu.roll(pat32, kd % Rp, 1)   # lane h -> pattern[h-kd]
+        v = h_iota - kd
+        match = ((v >= 0) & (v < plens) & (h_iota < tlens)
+                 & (pat_sh == txt32))
+        arr = jnp.where(match, R, h_iota)
+        # suffix-min: arr[h] := min(arr[h..]) in log2(Rp) roll+min steps.
+        for s_ in log_shifts:
+            rolled = pltpu.roll(arr, Rp - s_, 1)
+            arr = jnp.where(h_iota < Rp - s_, jnp.minimum(arr, rolled), arr)
+        nm_ref[kk] = arr.astype(nm_dtype)
 
     # ---- score 0 (ref: wfa.c:364-366) ----
     # (selects happen in int32 — Mosaic dislikes 8x128-tiled bool masks
@@ -123,7 +167,7 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
 
         # ---- extend (ref: wfa.c:193-215): offset -> first mismatch >=
         # offset on this diagonal.  Static loop over the (few) diagonals;
-        # each is one lane one-hot reduce over its compact NM row.
+        # each is one lane one-hot reduce over its in-kernel NM row.
         do_ext = active & ~m_null & inr & (m >= 0)
         idx = jnp.clip(m, 0, Rp - 1)
         riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
@@ -132,11 +176,13 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
             sel_k = kvec == (kk - smax)
             within = (kl <= kk - smax) & (kk - smax <= kh)
             off_k = jnp.sum(jnp.where(sel_k, idx, 0), axis=1, keepdims=True)
-            nm_k = nmt_ref[:, kk, :].astype(I32)
+            nm_k = nm_ref[kk].astype(I32)
             e_k = jnp.sum(jnp.where(riota == off_k, nm_k, 0), axis=1,
                           keepdims=True)
             ext = jnp.where(sel_k & within, e_k, ext)
-        offi = jnp.where(do_ext, ext, m)
+        # Offsets beyond the NM lanes (m >= Rp, possible via long gap
+        # chains) extend to themselves, as in the reference.
+        offi = jnp.where(do_ext & (m < Rp), ext, m)
         hm_ref[s] = offi.astype(I16)
 
         # ---- reduce (WFA-adaptive, ref: wfa.c:70-141) ----
@@ -253,10 +299,13 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
         0, smax + 1, lambda _, st: body(st),
         (s0, active0, scores0, klw0, khw0, flw0))
     scores = jnp.where(active_i > 0, smax + 1, scores)
-    scores_ref[0:1, :] = scores.reshape(1, P)
+
+    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
 
     if not cfg.backtrace:
-        runs_ref[:, :] = jnp.zeros((P, NRL), I16)
+        packed0 = jnp.where(rlane == 0, (scores << 8) | (NRL - 1), 0)
+        runs_ref[:, :] = jax.lax.slice_in_dim(
+            packed0, 0, NRL, axis=1).astype(I16)
         return
 
     # ======================= on-device backtrace =======================
@@ -311,7 +360,6 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
 
     runs0 = jnp.zeros((P, 128), I32)
     rc0 = jnp.full((P, 1), NRL - 1, I32)  # runs descend within [1, NRL)
-    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
 
     def emit(runs, rc, mask, op, length):
         """Append a run (right-to-left) where mask & length > 0."""
@@ -398,23 +446,64 @@ def _wfa_kernel(cfg: AlignConfig, P: int, Kp: int, Rp: int, NRL: int,
     runs, rc = emit(runs, rc, fin_m, OP_M, offset)
     runs, rc = emit(runs, rc, bt_ok & ~fin_m, OP_D, v)
     runs, rc = emit(runs, rc, bt_ok & ~fin_m, OP_I, h)
-    # lane 0 holds the final cursor (runs live in lanes rc+1..NRL-1)
-    runs = jnp.where(rlane == 0, rc, runs)
+    # lane 0: final cursor | end score << 8 (runs live in lanes rc+1..NRL-1)
+    runs = jnp.where(rlane == 0, rc | (scores << 8), runs)
     runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret",
-                                             "device_cigar"))
-def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
-                       interpret: bool = False, device_cigar: bool = True):
-    """Pallas WFA forward (+ on-device backtrace).
+def pack_seqs(pats: "np.ndarray", txts: "np.ndarray", plens, tlens,
+              read_size: int):
+    """Host-side 2-bit packing of a [n, R] uint8 sequence pair batch.
 
-    Returns {"scores": [n] i32} plus, when cfg.backtrace:
-      device_cigar=True:  {"runs": [n, NRL] i16} — run-length CIGAR records,
-        lane 0 = final cursor rc, runs in lanes rc+1..NRL-1
-        (host: native.wfa_runs_to_ops)
-      device_cigar=False: packed history as in wfa_xla (score-major) for
-        the host walker — kept for cross-validation.
+    Returns (packed_pats, packed_txts [n, Rp//4] u8, True) when the
+    COMBINED alphabet has <= 4 symbols (the DNA case — H2D bytes over this
+    relay are precious, PERFNOTES.md §2), else the inputs unchanged with
+    False.  One shared injective recode preserves alignment semantics:
+    the kernels only compare pattern bytes against text bytes for
+    equality.
+    """
+    import numpy as np
+    Rp = _round_up(read_size + 2, 8)
+    seen = np.zeros(256, bool)
+    seen[pats.reshape(-1)] = True
+    seen[txts.reshape(-1)] = True
+    syms = np.nonzero(seen)[0]
+    if seen[0]:
+        syms = syms[1:]  # byte 0 beyond the valid region is just padding
+    if len(syms) > 4:
+        return pats, txts, False
+    if seen[0]:
+        # Byte 0 may alias syms[0]'s code only if it never occurs INSIDE a
+        # valid region (positions < plen/tlen) — text-file parsing cannot
+        # produce interior NULs, but direct API callers could.
+        pos = np.arange(pats.shape[1])
+        if ((pats == 0) & (pos < np.asarray(plens)[:, None])).any() or \
+           ((txts == 0) & (pos < np.asarray(tlens)[:, None])).any():
+            return pats, txts, False
+    lut = np.zeros(256, np.uint8)
+    lut[syms] = np.arange(len(syms), dtype=np.uint8)
+
+    def one(arr):
+        codes = np.zeros((arr.shape[0], Rp), np.uint8)
+        codes[:, :arr.shape[1]] = lut[arr]
+        pk = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+              | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+        return np.ascontiguousarray(pk)
+
+    return one(pats), one(txts), True
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                       interpret: bool = False, packed: bool = False):
+    """Pallas WFA forward (+ on-device backtrace), one fused dispatch.
+
+    With packed=True, pats/txts are 2-bit packed [n, Rp//4] u8 (see
+    pack_seqs); a 2-op XLA prologue unpacks them on device.
+
+    Returns {"packed_runs": [n, NRL] i16}: lane 0 = cursor | score << 8;
+    when cfg.backtrace, run-length CIGAR records in lanes cursor+1..NRL-1
+    (host: native.wfa_runs_to_ops).  Scores: ops.wfa_pallas.unpack_scores.
     """
     smax = cfg.max_score
     R = cfg.read_size
@@ -424,12 +513,14 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Kp = _round_up(K, 128)
     Rp = _round_up(R + 2, 8)
     S2 = smax + 2
-    NRL = min(128, _round_up(2 * smax + 10, 8))
+    NRL = runs_lanes(smax) if cfg.backtrace else 8
     P = 128 if Kp <= 128 else 64
     nm_dtype = jnp.int8 if R + 1 < 128 else I16
-    if not (device_cigar or not cfg.backtrace):
-        raise NotImplementedError(
-            "pallas history mode removed; use the XLA backend")
+
+    if packed:
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
+        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
 
     # Pad the batch to a tile multiple (zero-length pairs finish at score 0).
     n_orig = n
@@ -440,42 +531,49 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         plens = jnp.pad(plens, (0, padn))
         tlens = jnp.pad(tlens, (0, padn))
         n = n + padn
-
-    nm = build_nm_table(pats, txts, plens.astype(I32), tlens.astype(I32),
-                        smax, R)                       # [n, K, R+1] i16
-    nm_c = jnp.pad(nm, ((0, 0), (0, K8 - K),
-                        (0, Rp - (R + 1)))).astype(nm_dtype)
+    # Sequence blocks cover lanes [0, Rp); pad the (already read_size-wide)
+    # arrays so block shapes are static.
+    if pats.shape[1] < Rp:
+        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
 
     grid = (n // P,)
-    out_shapes = (
-        jax.ShapeDtypeStruct((1, n), I32),           # scores
-        jax.ShapeDtypeStruct((n, NRL), I16),         # CIGAR runs
-    )
     kernel = functools.partial(_wfa_kernel, cfg, P, Kp, Rp, NRL, K)
-    res = pl.pallas_call(
+    runs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, K8, Rp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, P), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, NRL), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shapes,
+        out_specs=pl.BlockSpec((P, NRL), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            pltpu.VMEM((S2, P, Kp), I16),   # hist m (on-chip only)
-            pltpu.VMEM((S2, P, Kp), I16),   # hist i
-            pltpu.VMEM((S2, P, Kp), I16),   # hist d
+            pltpu.VMEM((K8, P, Rp), nm_dtype),  # NM table (on-chip only)
+            pltpu.VMEM((S2, P, Kp), I16),       # hist m
+            pltpu.VMEM((S2, P, Kp), I16),       # hist i
+            pltpu.VMEM((S2, P, Kp), I16),       # hist d
         ],
         interpret=interpret,
-    )(plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1), nm_c)
-    scores, runs = res
-    out = {"scores": scores[0, :n_orig]}
-    if cfg.backtrace:
-        out["runs"] = runs[:n_orig]
-    return out
+    )(pats, txts, plens.astype(I32).reshape(n, 1),
+      tlens.astype(I32).reshape(n, 1))
+    return {"packed_runs": runs[:n_orig]}
+
+
+def vmem_fit(cfg: AlignConfig) -> bool:
+    """Conservative VMEM-fit gate for the fused kernel (v5e: 16 MB;
+    compile fails with a scoped-vmem OOM beyond it — PERFNOTES.md §3).
+    Budget: NM + 3 history planes + ~2x slack for the kernel body's
+    spill stack and block double-buffering."""
+    smax = cfg.max_score
+    R = cfg.read_size
+    K8 = _round_up(2 * smax + 1, 8)
+    Rp = _round_up(R + 2, 8)
+    Kp = _round_up(2 * smax + 1, 128)
+    P = 128 if Kp <= 128 else 64
+    nm_bytes = K8 * P * Rp * (1 if R + 1 < 128 else 2)
+    hist_bytes = 3 * (smax + 2) * P * Kp * 2
+    return 2 * (nm_bytes + hist_bytes) + 4 * 1024 * 1024 < 16 * 1024 * 1024

@@ -23,12 +23,13 @@ def test_wfa_pallas_interpret_matches_oracle(adaptive):
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=SMAX,
                       backtrace=True, adaptive=adaptive)
     out = wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
-    sc = np.asarray(out["scores"]).astype(np.int32)
+    packed = np.asarray(out["packed_runs"])
+    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
     osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
                                       gap_o=4, gap_e=1, max_score=SMAX,
                                       adaptive=adaptive, backtrace=True)
     np.testing.assert_array_equal(sc, osc)
-    wops, wb, we = nat.wfa_runs_to_ops(np.asarray(out["runs"]), sc, pl, tl,
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
                                        max_score=SMAX, max_ops=2 * R)
     for i in range(len(PAIRS)):
         assert cigar_of(oops[i], ob[i], oe[i]) == \
@@ -42,9 +43,10 @@ def test_wfa_pallas_interpret_overflow_pairs():
     pats, txts, pl, tl = pack([("AAAAAAAA", "TTTTTTTT")] * 8, 16)
     cfg = AlignConfig(algo="wfa", read_size=16, max_score=5, backtrace=True)
     out = wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
-    sc = np.asarray(out["scores"]).astype(np.int32)
+    packed = np.asarray(out["packed_runs"])
+    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
     assert (sc == 6).all()
-    wops, wb, we = nat.wfa_runs_to_ops(np.asarray(out["runs"]), sc, pl, tl,
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
                                        max_score=5, max_ops=32)
     for i in range(8):
         assert cigar_of(wops[i], wb[i], we[i]) == b"M"  # prints as "1M"
