@@ -44,6 +44,30 @@ class AlignResult:
     n_fallback: int = 0
 
 
+_EAGER_DONE = False
+
+
+def _ensure_eager_dispatch():
+    """Flip this process's runtime into the eager dispatch mode once.
+
+    On this relay runtime, a process that has completed one device->host
+    transfer executes all subsequent work eagerly-synchronously, which is
+    the FASTER steady state for bulk upload->execute->pull pipelines (the
+    deferred mode serializes everything into the final pull at a worse
+    rate — measured, PERFNOTES.md §4).  The first D2H the relay ever
+    serves can stall (the "lottery", PERFNOTES.md §2) — that cost exists
+    on either path; paying it up front on 64 bytes keeps it out of the
+    bulk transfers.
+    """
+    global _EAGER_DONE
+    if _EAGER_DONE:
+        return
+    _EAGER_DONE = True
+    b = jax.device_put(np.zeros(64, np.uint8))
+    jax.block_until_ready(b)
+    np.asarray(b)
+
+
 def _forward_fn(cfg: AlignConfig, device_sharding=None):
     backend = cfg.backend
     if backend == "auto":
@@ -137,6 +161,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     cfg.backtrace).  Device work runs in cfg.batch_pairs chunks.
     """
     cfg.validate()
+    _ensure_eager_dispatch()
     n = pats.shape[0]
     R = cfg.read_size
     max_ops = 2 * R
@@ -207,19 +232,27 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         csize = hi - lo
         host = {k: np.ascontiguousarray(v)[:csize] for k, v in out.items()}
         if "packed_runs" in host:
-            # Pallas packed record: lane 0 = cursor | score << 8.
-            host["scores"] = (
-                (host["packed_runs"][:, 0].astype(np.int32) >> 8) & 0xFF)
+            lane0 = host["packed_runs"][:, 0].astype(np.int32)
+            if cfg.algo == ALGO_WFA:
+                # WFA record: lane 0 = cursor | score << 8 (no flags —
+                # the WFA kernel has no fallback conditions).
+                host["scores"] = (lane0 >> 8) & 0xFF
+            else:
+                # NW/SWG record: lane 0 = cursor | flags << 8 (bit 0 =
+                # needs_fallback), lane 1 = score.
+                host["scores"] = host["packed_runs"][:, 1].astype(np.int32)
+                host["needs_fallback"] = ((lane0 >> 8) & 1).astype(bool)
 
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
-            if cfg.algo == ALGO_WFA and "packed_runs" in host:
+            if "packed_runs" in host:
                 # The Pallas kernel backtraced on device; expand its
                 # run-length records into the reference ops buffers.
+                bt_cap = cfg.max_score if cfg.algo == ALGO_WFA else (1 << 30)
                 o, b, e = native.wfa_runs_to_ops(
                     host["packed_runs"], host["scores"], plens[chunk],
-                    tlens[chunk], max_score=cfg.max_score, max_ops=max_ops)
+                    tlens[chunk], max_score=bt_cap, max_ops=max_ops)
             elif cfg.algo == ALGO_WFA:
                 # Unpack the two transfer arrays into strided views (the
                 # walker takes element strides; no host copies of the hist).

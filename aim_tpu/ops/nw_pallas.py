@@ -1,0 +1,345 @@
+"""NW edit distance — banded Pallas TPU kernel (VMEM-resident tier) with
+on-device CIGAR traceback.
+
+The reference's DPU-WRAM variant keeps the whole (P+1)x(T+1) DP table in
+the 64 KB scratchpad (ref: NW/DPU-WRAM/dpu/nw.c:109-153,187).  The TPU
+analogue here keeps a *banded* DP in VMEM: cells (h, v) with
+|v - h| <= C (band half-width C derived from MAX_SCORE) are computed per
+text row h; direction codes for every in-band cell stay in a VMEM scratch
+plane and are walked ON DEVICE into run-length CIGAR records, so only a
+[n, NRL] i16 record crosses D2H (vs the full-table direction bits of the
+XLA/HBM tier, ops/nw_xla.py — the DPU-MRAM analogue).
+
+Banding is exact for a pair iff no optimal path can leave the band:
+reaching diagonal excursion d beyond the [min(0,kend), max(0,kend)]
+corridor costs >= d*(GAP_I+GAP_D), so a pair with banded score s is exact
+when |kend| + s//(GAP_I+GAP_D) + 1 <= C.  Pairs failing that (or the
+flat-tape aliasing / int16-wrap conditions below) are flagged
+needs_fallback and re-run by the caller on the exact path — on
+launcher-derived configs (MAX_SCORE = ceil(e*l*max(x, 2g))) real data
+virtually never flags.
+
+Band coordinates: lane b = v - h + C; row h-1 of the DP appears at the
+SAME lane for the diagonal term and at lane b+1 for the insertion term;
+the in-row deletion chain is a min-plus prefix scan along lanes (same
+linearization as ops/common.min_plus_scan, ref: nw.c:139).
+
+Reference semantics preserved (as in ops/nw_xla.py):
+  * flat-tape aliasing: plen == tlen+1 pairs get the h==1 column-0 cell
+    GAP_I (ref row-init overwrite, nw.c:124-130); deeper chain reads are
+    out-of-band large values that provably cannot be walked under the
+    conditions above (small-plen aliased pairs are flagged instead).
+  * traceback priority D -> I -> diag, 'X' iff equality with diag +
+    MISMATCH (ref: nw.c:76-94); trailing I/D tails (nw.c:100-106).
+  * int16 cells (NW_W16): pairs whose live in-band cells exceed int16 are
+    flagged for the oracle (where the reference wraps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aim_tpu.config import AlignConfig
+
+I32 = jnp.int32
+I16 = jnp.int16
+INF = 2 ** 20   # in-band "+infinity"; must stay <= 2**24 (PERFNOTES.md §1)
+INT16_MAX = 32767
+
+OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+# direction codes (shared with ops/nw_xla.py and the native walker)
+C_D, C_I, C_M, C_X = 0, 1, 2, 3
+
+FLAG_FALLBACK = 1
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def band_half(cfg: AlignConfig) -> int:
+    """Band half-width: excursions cost GAP_I+GAP_D per unit, length skew
+    |kend| <= wrong ~ MAX_SCORE/min-cost; C = MAX_SCORE covers both with
+    margin on launcher-derived configs."""
+    return min(cfg.max_score + 2, 62)
+
+
+def runs_lanes_nw(cfg: AlignConfig) -> int:
+    """Packed record lanes: lane0 = rc | flags<<8, lane1 = score, runs in
+    [2, NRL).  With merge-emit, run count <= op alternations + tails
+    <= 2*MAX_SCORE + 4 for unflagged pairs (each alternation needs >= 1
+    unit of score); flagged pairs go to the fallback anyway."""
+    return min(128, _round_up(2 * cfg.max_score + 8, 8))
+
+
+def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
+               pats_ref, txts_ref, plens_ref, tlens_ref,
+               runs_ref, bits_ref):
+    R = cfg.read_size
+    gi, gd, x = cfg.gap_i, cfg.gap_d, cfg.mismatch
+    B = 2 * C + 1
+
+    plens = plens_ref[:]                 # [P, 1] i32
+    tlens = tlens_ref[:]
+    kend = plens - tlens
+    aliased = plens == tlens + 1
+    multi_alias = plens > tlens + 1
+
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)   # band lane b
+    riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
+    pat32 = pats_ref[:].astype(I32)      # [P, Rp]
+    txt32 = txts_ref[:].astype(I32)
+
+    in_band = lane < B
+
+    # ---- row 0: v = b - C; cell = v*gd; aliased slot v==plen (only ever
+    # in-band for tiny plen — those pairs are flagged) gets GAP_I.
+    v0 = lane - C
+    row0 = jnp.where((v0 >= 0) & (v0 <= plens) & in_band, v0 * gd, INF)
+    row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
+                     gi, row0)
+
+    # min-plus scan constants
+    ramp = lane * gd
+    log_shifts = []
+    sh = 1
+    while sh < B:
+        log_shifts.append(sh)
+        sh *= 2
+
+    def minplus(z):
+        xzr = z - ramp
+        for s_ in log_shifts:
+            rolled = pltpu.roll(xzr, s_, 1)
+            xzr = jnp.minimum(xzr, jnp.where(lane >= s_, rolled, INF))
+        return xzr + ramp
+
+    def sl1(w, fill):   # value at lane b-1
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(lane >= 1, r, fill)
+
+    def sr1(w, fill):   # value at lane b+1
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(lane <= 126, r, fill)
+
+    # pattern window carried across rows: patw[b] at row h = pattern[v-1]
+    # with v = h + b - C, i.e. lane b holds pattern[h + b - C - 1].
+    # For h = 1: pattern[b - C] -> roll pattern right by C lanes... we use
+    # a one-hot-free formulation: maintain the shifted pattern by rolling
+    # LEFT one lane per row (v advances with h).
+    # Initial (h=1): lane b -> pattern index b - C (OOB masked later).
+    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, 128 - Rp)),
+                               constant_values=-1), C, 1)
+
+    def fwd_body(i, carry):
+        prev, patw, score, overflow = carry
+        h = i + 1
+        # text char of this row, [P, 1]
+        tch = jnp.sum(jnp.where(riota == h - 1, txt32, 0), axis=1,
+                      keepdims=True)
+        v = lane - C + h                       # v of lane b at row h
+        valid = (v >= 1) & (v <= plens) & in_band
+        sub = jnp.where(patw == tch, 0, x)
+        # prev row at same v sits at lane b+1; diag (v-1) at lane b.
+        ins = jnp.where(valid, sr1(prev, INF) + gi, INF)
+        dia = jnp.where(valid, prev + sub, INF)
+        indep = jnp.minimum(ins, dia)
+        # column-0 boundary: v=0 at lane b = C - h (in-band for h <= C).
+        col0 = jnp.where(aliased,
+                         jnp.where(h == 1, gi, INF),    # deep chain: INF
+                         h * gi)
+        z = jnp.where((v == 0) & in_band, col0, indep)
+        z = jnp.where(valid | ((v == 0) & in_band), z, INF)
+        cur = minplus(z)
+        # clamp out-of-band / invalid lanes so INF never bleeds via ramp
+        cur = jnp.where(valid | ((v == 0) & in_band), cur, INF)
+
+        live = valid & (h <= tlens)
+        ovf_row = jnp.any(live & (jnp.abs(cur) > INT16_MAX),
+                          axis=1, keepdims=True)
+        overflow = jnp.maximum(overflow, ovf_row.astype(I32))
+
+        # direction codes (priority D -> I -> diag/X; nw_xla parity)
+        cur_s = sl1(cur, INF)
+        del_eq = cur == cur_s + gd
+        ins_eq = cur == sr1(prev, INF) + gi
+        x_eq = cur == prev + x
+        code = jnp.where(del_eq, C_D,
+                         jnp.where(ins_eq, C_I, jnp.where(x_eq, C_X, C_M)))
+        code = jnp.where(valid, code, C_M)   # non-D outside valid cells
+        bits_ref[h] = code.astype(jnp.int8)
+
+        at_end = (h == tlens)
+        b_end = plens - tlens + C
+        endv = jnp.sum(jnp.where(lane == b_end, cur, 0), axis=1,
+                       keepdims=True)
+        score = jnp.where(at_end, endv, score)
+
+        patw2 = pltpu.roll(patw, 127, 1)     # advance the pattern window
+        return cur, patw2, score, overflow
+
+    prev0 = row0
+    score0 = jnp.zeros((P, 1), I32)
+    ovf0 = jnp.zeros((P, 1), I32)
+    _, _, score, overflow = jax.lax.fori_loop(
+        0, R, fwd_body, (prev0, patw0, score0, ovf0))
+    overflow = overflow > 0
+    score = jnp.where((plens == 0) | (tlens == 0), 0, score)
+
+    # ---- band-exactness conditions -> needs_fallback flag ----
+    dmax = score // (gi + gd)
+    bad_band = (jnp.abs(kend) + dmax + 1) > C
+    bad_alias = aliased & (plens <= (score // gd) + dmax + 2)
+    flag = multi_alias | bad_band | bad_alias | overflow
+    flag = flag | (plens > tlens + C) | (tlens > plens + C)
+
+    # ======================= on-device traceback =======================
+    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+
+    def emit_merge(runs, rc, mask, op, length):
+        """Append a run right-to-left, merging with the previous record
+        when the op matches (keeps M-runs that span many rows as one
+        record).  Floor rc at 1 (lanes 0..1 are header) — a pair that
+        would underflow gets flagged by capacity analysis upstream."""
+        do = mask & (length > 0)
+        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
+                      keepdims=True)
+        top_op = top >> 12
+        top_len = top & 0xFFF
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        runs = jnp.where((rlane == rc + 1) & can,
+                         (op << 12) | (top_len + length), runs)
+        push = do & ~can
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
+        # no floor: a pair pushing past lane 2 drives rc below 1, which the
+        # caller turns into needs_fallback (capacity exceeded).
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc
+
+    if cfg.backtrace:
+        hcur = tlens
+        vcur = plens
+        runs = jnp.zeros((P, 128), I32)
+        rc = jnp.full((P, 1), NRL - 1, I32)
+
+        def bt_body(i, st):
+            hcur, vcur, runs, rc = st
+            h = R - i
+            act = (hcur == h) & (hcur > 0) & (vcur > 0)
+            cr = bits_ref[h].astype(I32)
+            # run of consecutive D codes ending at each lane:
+            # pm[lane] = last lane' <= lane with code != D.
+            nd = jnp.where(cr != C_D, lane, -1)
+            pm = nd
+            for s_ in log_shifts + [64]:
+                rolled = pltpu.roll(pm, s_, 1)
+                pm = jnp.maximum(pm, jnp.where(lane >= s_, rolled, -1))
+            b = vcur - h + C
+            pm_b = jnp.sum(jnp.where(lane == b, pm, 0), axis=1,
+                           keepdims=True)
+            dlen = jnp.where(act, b - pm_b, 0)
+            dlen = jnp.minimum(dlen, vcur)         # never walk past v=0
+            runs, rc = emit_merge(runs, rc, act, OP_D, dlen)
+            vcur = vcur - dlen
+            # one row-exit step (I or diag) if still in the main loop
+            act2 = act & (vcur > 0)
+            b2 = vcur - h + C
+            code2 = jnp.sum(jnp.where(lane == b2, cr, 0), axis=1,
+                            keepdims=True)
+            is_i = act2 & (code2 == C_I)
+            is_m = act2 & (code2 == C_M)
+            is_x = act2 & (code2 == C_X)
+            one = jnp.ones((P, 1), I32)
+            runs, rc = emit_merge(runs, rc, is_i, OP_I, one)
+            runs, rc = emit_merge(runs, rc, is_m, OP_M, one)
+            runs, rc = emit_merge(runs, rc, is_x, OP_X, one)
+            hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
+            vcur = vcur - jnp.where(is_m | is_x, 1, 0)
+            return hcur, vcur, runs, rc
+
+        hcur, vcur, runs, rc = jax.lax.fori_loop(
+            0, R, bt_body, (hcur, vcur, runs, rc))
+        # tails (ref: nw.c:100-106): I x h, then D x v (only one nonzero)
+        runs, rc = emit_merge(runs, rc, hcur > 0, OP_I, hcur)
+        runs, rc = emit_merge(runs, rc, vcur > 0, OP_D, vcur)
+        flag = flag | (rc < 1)
+    else:
+        runs = jnp.zeros((P, 128), I32)
+        rc = jnp.full((P, 1), NRL - 1, I32)
+
+    runs = jnp.where(rlane == 0, rc | (flag.astype(I32) << 8), runs)
+    runs = jnp.where(rlane == 1, jnp.clip(score, -32768, 32767), runs)
+    runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                      interpret: bool = False, packed: bool = False):
+    """Banded Pallas NW forward + on-device traceback, one fused dispatch.
+
+    With packed=True, pats/txts are 2-bit packed (wfa_pallas.pack_seqs);
+    a 2-op XLA prologue unpacks them on device.
+
+    Returns {"packed_runs": [n, NRL] i16}: lane0 = cursor | flags<<8
+    (bit0 = needs_fallback), lane1 = score, CIGAR runs in lanes
+    cursor+1..NRL-1 (host: native.wfa_runs_to_ops).
+    """
+    R = cfg.read_size
+    n = pats.shape[0]
+    C = band_half(cfg)
+    Rp = _round_up(R + 2, 8)
+    NRL = runs_lanes_nw(cfg)
+    P = 128
+
+    if packed:
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
+        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
+
+    n_orig = n
+    if n % P:
+        padn = _round_up(n, P) - n
+        pats = jnp.pad(pats, ((0, padn), (0, 0)))
+        txts = jnp.pad(txts, ((0, padn), (0, 0)))
+        plens = jnp.pad(plens, (0, padn))
+        tlens = jnp.pad(tlens, (0, padn))
+        n += padn
+    if pats.shape[1] < Rp:
+        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
+
+    kernel = functools.partial(_nw_kernel, cfg, P, Rp, NRL, C)
+    runs = pl.pallas_call(
+        kernel,
+        grid=(n // P,),
+        in_specs=[
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, NRL), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
+        scratch_shapes=[
+            pltpu.VMEM((R + 1, P, 128), jnp.int8),  # direction codes
+        ],
+        interpret=interpret,
+    )(pats, txts, plens.astype(I32).reshape(n, 1),
+      tlens.astype(I32).reshape(n, 1))
+    return {"packed_runs": runs[:n_orig]}
+
+
+def vmem_fit_nw(cfg: AlignConfig) -> bool:
+    """The codes plane ((R+1) x 128 x 128 i8) is the dominant scratch;
+    2x slack for block buffers + the kernel body's spill stack."""
+    bits = (cfg.read_size + 1) * 128 * 128
+    return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
+            and cfg.read_size <= 2047 and band_half(cfg) >= 2)

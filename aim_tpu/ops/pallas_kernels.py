@@ -7,7 +7,7 @@ XLA implementations, or None when no Pallas kernel covers the config yet
 
 from __future__ import annotations
 
-from aim_tpu.config import ALGO_WFA, AlignConfig
+from aim_tpu.config import ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig
 
 
 def forward_fn(cfg: AlignConfig):
@@ -20,6 +20,22 @@ def forward_fn(cfg: AlignConfig):
         if cfg.max_score <= 61 and vmem_fit(cfg):
             def fn(*args, **kw):
                 return wfa_forward_pallas(*args, **kw)
+
+            return fn
+    if cfg.algo == ALGO_NW and cfg.variant == "vmem":
+        from aim_tpu.ops.nw_pallas import nw_forward_pallas, vmem_fit_nw
+
+        if vmem_fit_nw(cfg):
+            def fn(*args, **kw):
+                return nw_forward_pallas(*args, **kw)
+
+            return fn
+    if cfg.algo == ALGO_SWG and cfg.variant == "vmem":
+        from aim_tpu.ops.swg_pallas import swg_forward_pallas, vmem_fit_swg
+
+        if vmem_fit_swg(cfg):
+            def fn(*args, **kw):
+                return swg_forward_pallas(*args, **kw)
 
             return fn
     return None

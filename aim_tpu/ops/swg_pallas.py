@@ -1,0 +1,379 @@
+"""SWG (Gotoh affine-gap, global, minimizing) — banded Pallas TPU kernel
+(VMEM-resident tier) with on-device CIGAR traceback.
+
+Same band machinery as ops/nw_pallas.py (lane b = v - h + C): the I matrix
+is elementwise from the previous row (lane b+1), the diagonal M term is at
+lane b, and the coupled M/D in-row chain reduces to one min-plus prefix
+scan because D[v] = min(c[v-1]+GO+GE, D[v-1]+GE) with c[v] = min(diag+sub,
+I[v]) (same linearization as ops/swg_xla.py; ref recurrence:
+SWG/DPU-WRAM/dpu/swg.c:146-163).
+
+Direction bits per cell (same encoding as ops/swg_xla.py / the native
+walker): bits0..1 M-choice (0 enter-D, 1 enter-I, 2 'M', 3 'X'; priority
+D -> I -> match -> mismatch, ref swg.c:79-98), bit2 D-opened, bit3
+I-opened.  They stay in VMEM and are walked ON DEVICE by a descending row
+sweep: the I layer crosses one row per sweep step; D runs resolve within
+a row (an inner while_loop handles M->D->M chains); M-run merging keeps
+the packed record small.
+
+Banding exactness (flagged to the host oracle otherwise):
+  * excursion d beyond the [min(0,kend), max(0,kend)] corridor costs
+    >= 2*GO + 2*d*GE  =>  exact when |kend| + dmax + 1 <= C with
+    dmax = max(0, (s - 2*GO)) // (2*GE) + 1;
+  * the reference's MAX_SCORE-as-init-sentinel participates in real mins
+    (e.g. I(1,v) = MAX_SCORE+GE beats M0[v]+GO+GE for large v); those
+    sentinel chains enter from out-of-band row-0/column-0 cells, and they
+    cannot influence walk-visited cells when s < MAX_SCORE + GE —
+    flagged otherwise;
+  * flat-tape aliasing: the h==1 column-0 triple of an aliased pair
+    (plen == tlen+1) equals the clean boundary triple (GO+GE, GO+GE, MS),
+    so only the deeper chain needs guarding: aliased pairs with
+    plen <= s//GE + dmax + 2 are flagged;
+  * cell-type wrap (int8 iff MAX_SCORE < 127 in this tier): pairs whose
+    live IN-BAND values approach the cell-type range are flagged, as in
+    ops/swg_xla.py.  Residual: an int8 wrap at an out-of-band cell is
+    invisible to the banded kernel; for a wrapped (negative) value to
+    alter an in-band result it must beat every real path after paying the
+    band-return gap cost, which real data's mismatch density prevents —
+    verified exactly on the in-repo datasets (int8-tape oracle equality;
+    tests/test_cli.py) — but is not provable in general.  Conservative
+    users can select variant='hbm' (full-width tier, whose wrap flags see
+    every cell) for adversarial inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aim_tpu.config import AlignConfig
+from aim_tpu.ops.nw_pallas import band_half, runs_lanes_nw
+
+I32 = jnp.int32
+I16 = jnp.int16
+INF = 2 ** 20
+
+OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+CH_D, CH_I, CH_M, CH_X = 0, 1, 2, 3
+L_M, L_I, L_D = 0, 1, 2
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
+                pats_ref, txts_ref, plens_ref, tlens_ref,
+                runs_ref, bits_ref):
+    R = cfg.read_size
+    mat, mis = cfg.match, cfg.mismatch
+    go, ge = cfg.gap_o, cfg.gap_e
+    ms = cfg.max_score
+    B = 2 * C + 1
+    cmax = 127 if cfg.cell_width == 1 else 32767
+    margin = go + ge + max(mis, abs(mat), ge)
+
+    plens = plens_ref[:]
+    tlens = tlens_ref[:]
+    kend = plens - tlens
+    aliased = plens == tlens + 1
+    multi_alias = plens > tlens + 1
+
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
+    pat32 = pats_ref[:].astype(I32)
+    txt32 = txts_ref[:].astype(I32)
+    in_band = lane < B
+
+    # ---- row 0 triples (ref: swg.c:128-137) ----
+    v0 = lane - C
+    r0_valid = (v0 >= 0) & (v0 <= plens) & in_band
+    d0 = jnp.where(v0 == 0, ms, go + v0 * ge)
+    i0 = jnp.full((P, 128), ms, I32)
+    m0 = jnp.where(v0 == 0, 0, d0)
+    at_alias = aliased & (v0 == plens) & (v0 > 0)
+    d0 = jnp.where(at_alias, ms, d0)
+    i0 = jnp.where(at_alias, go + ge, i0)
+    m0 = jnp.where(at_alias, go + ge, m0)
+    d0 = jnp.where(r0_valid, d0, INF)
+    i0 = jnp.where(r0_valid, i0, INF)
+    m0 = jnp.where(r0_valid, m0, INF)
+
+    ramp = lane * ge
+    log_shifts = []
+    sh = 1
+    while sh < B:
+        log_shifts.append(sh)
+        sh *= 2
+
+    def minplus(z):
+        xzr = z - ramp
+        for s_ in log_shifts:
+            rolled = pltpu.roll(xzr, s_, 1)
+            xzr = jnp.minimum(xzr, jnp.where(lane >= s_, rolled, INF))
+        return xzr + ramp
+
+    def sl1(w, fill):
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(lane >= 1, r, fill)
+
+    def sr1(w, fill):
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(lane <= 126, r, fill)
+
+    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, 128 - Rp)),
+                               constant_values=-1), C, 1)
+
+    def fwd_body(i, carry):
+        pm, pi, pd, patw, score, overflow = carry
+        h = i + 1
+        tch = jnp.sum(jnp.where(riota == h - 1, txt32, 0), axis=1,
+                      keepdims=True)
+        v = lane - C + h
+        valid = (v >= 1) & (v <= plens) & in_band
+        sub = jnp.where(patw == tch, mat, mis)
+
+        # column-0 boundary triple (clean: M=I=GO+h*GE, D=MS; aliased
+        # h>=2: deep chain -> INF, guarded by the plen flag; h==1 aliased
+        # equals clean).
+        mb = jnp.where(aliased & (h >= 2), INF, go + h * ge)
+        ib = mb
+        db = jnp.where(aliased & (h >= 2), INF, ms)
+
+        i_cur = jnp.minimum(sr1(pm, INF) + go + ge, sr1(pi, INF) + ge)
+        i_cur = jnp.where(valid, i_cur, INF)
+        i_cur = jnp.where((v == 0) & in_band, ib, i_cur)
+        c = jnp.minimum(pm + sub, i_cur)
+        c = jnp.where(valid, c, INF)
+        c_s = sl1(c, INF)
+        m_left = sl1(jnp.where((v == 0) & in_band, mb, INF), INF)
+        # z for the D min-plus chain: v==0 -> D boundary; v==1 -> M0+GO+GE;
+        # else c[v-1]+GO+GE.
+        z = jnp.where((v == 0) & in_band, db,
+                      jnp.where(v == 1, m_left + go + ge, c_s + go + ge))
+        z = jnp.where(valid | ((v == 0) & in_band), z, INF)
+        d_cur = minplus(z)
+        d_cur = jnp.where(valid | ((v == 0) & in_band), d_cur, INF)
+        m_cur = jnp.minimum(c, d_cur)
+        m_cur = jnp.where((v == 0) & in_band, mb, m_cur)
+        m_cur = jnp.where(valid | ((v == 0) & in_band), m_cur, INF)
+
+        live = valid & (h <= tlens)
+        mx = jnp.maximum(jnp.abs(m_cur), jnp.maximum(jnp.abs(i_cur),
+                                                     jnp.abs(d_cur)))
+        # Band-edge cells legitimately carry INF (no in-band path for that
+        # plane); real DP values are < R*max-cost << INF//2, so only
+        # values below that are genuine wrap risks.
+        ovf_row = jnp.any(live & (mx > cmax - margin) & (mx < INF // 2),
+                          axis=1, keepdims=True)
+        overflow = jnp.maximum(overflow, ovf_row.astype(I32))
+
+        # direction bits (ops/swg_xla.py parity)
+        m_cur_s = sl1(m_cur, INF)
+        choice = jnp.where(m_cur == d_cur, CH_D,
+                           jnp.where(m_cur == i_cur, CH_I,
+                                     jnp.where(m_cur == pm + mat, CH_M,
+                                               CH_X)))
+        d_open = (d_cur == m_cur_s + go + ge).astype(I32)
+        i_open = (i_cur == sr1(pm, INF) + go + ge).astype(I32)
+        code = jnp.where(valid, choice | (d_open << 2) | (i_open << 3),
+                         CH_M)
+        bits_ref[h] = code.astype(jnp.int8)
+
+        at_end = (h == tlens)
+        b_end = plens - tlens + C
+        endv = jnp.sum(jnp.where(lane == b_end, m_cur, 0), axis=1,
+                       keepdims=True)
+        score = jnp.where(at_end, endv, score)
+
+        patw2 = pltpu.roll(patw, 127, 1)
+        return m_cur, i_cur, d_cur, patw2, score, overflow
+
+    score0 = jnp.zeros((P, 1), I32)
+    ovf0 = jnp.zeros((P, 1), I32)
+    _, _, _, _, score, overflow = jax.lax.fori_loop(
+        0, R, fwd_body, (m0, i0, d0, patw0, score0, ovf0))
+    overflow = overflow > 0
+    score = jnp.where((plens == 0) | (tlens == 0), 0, score)
+
+    # ---- exactness flags ----
+    dmax = jnp.maximum(0, score - 2 * go) // (2 * ge) + 1
+    bad_band = (jnp.abs(kend) + dmax + 1) > C
+    # Out-of-band sentinel chains (row-0 I / column-0 D seeds of MS) carry
+    # value MS + depth*GE; they can only undercut a walk-visited cell
+    # (value <= s) at depth <= (s - MS)/GE, where the visited cell's
+    # row-0/column-0 ancestor at distance <= depth + dmax must itself be
+    # out-of-band — impossible while (s - MS)/GE + dmax <= C.
+    bad_sentinel = ((score - ms) // ge + dmax) > C
+    bad_alias = aliased & (plens <= (score // ge) + dmax + 2)
+    flag = (multi_alias | bad_band | bad_sentinel | bad_alias | overflow
+            | (plens > tlens + C) | (tlens > plens + C) | (score < 0))
+
+    # ======================= on-device traceback =======================
+    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+
+    def emit_merge(runs, rc, mask, op, length):
+        do = mask & (length > 0)
+        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
+                      keepdims=True)
+        top_op = top >> 12
+        top_len = top & 0xFFF
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        runs = jnp.where((rlane == rc + 1) & can,
+                         (op << 12) | (top_len + length), runs)
+        push = do & ~can
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc
+
+    if cfg.backtrace:
+        hcur = tlens
+        vcur = plens
+        layer = jnp.zeros((P, 1), I32)      # start in M (ref swg.c:52)
+        runs = jnp.zeros((P, 128), I32)
+        rc = jnp.full((P, 1), NRL - 1, I32)
+
+        def lane_at(arr, kx):
+            return jnp.sum(jnp.where(lane == kx, arr, 0), axis=1,
+                           keepdims=True)
+
+        def bt_body(i, st):
+            hcur, vcur, layer, runs, rc, unfinished = st
+            h = R - i
+            act = (hcur == h) & (hcur > 0) & (vcur > 0)
+            cr = bits_ref[h].astype(I32)
+            choice = cr & 3
+            dopen = (cr >> 2) & 1
+            iopen = (cr >> 3) & 1
+            # prefix: last lane' <= lane with d_open == 1 (D-runs stop
+            # AT the first opened D, inclusive).
+            pmd = jnp.where(dopen == 1, lane, -1)
+            for s_ in log_shifts + [64]:
+                rolled = pltpu.roll(pmd, s_, 1)
+                pmd = jnp.maximum(pmd, jnp.where(lane >= s_, rolled, -1))
+
+            # I-layer arrival: one 'I' per sweep row (ref swg.c:66-72).
+            in_i = act & (layer == L_I)
+            one = jnp.ones((P, 1), I32)
+            runs, rc = emit_merge(runs, rc, in_i, OP_I, one)
+            b_i = vcur - h + C
+            io_here = lane_at(iopen, b_i)
+            layer = jnp.where(in_i & (io_here == 1), L_M, layer)
+            hcur = hcur - jnp.where(in_i, 1, 0)
+
+            # M-phase (may chain M -> D-run -> M within the row).  A
+            # fixed unroll instead of a while_loop (data-dependent loops
+            # fault this target); each extra chain link costs >= GO+GE of
+            # score, so 4 links cover everything real — a pair still
+            # pending after that is flagged to the fallback path.
+            # (A pair whose I-arrival step just returned it to M has moved
+            # to row h-1 — it must NOT run this row's M-phase.)
+            pending = act & (layer == L_M) & ~in_i
+            for _ in range(4):
+                pend = pending
+                b = vcur - h + C
+                ch = lane_at(choice, b)
+                is_d = pend & (ch == CH_D)
+                pmd_b = lane_at(pmd, b)
+                dlen = jnp.where(is_d, b - pmd_b + 1, 0)
+                capped = is_d & (dlen >= vcur)
+                dlen = jnp.minimum(dlen, vcur)
+                runs, rc = emit_merge(runs, rc, is_d, OP_D, dlen)
+                vcur = vcur - dlen
+                layer = jnp.where(capped, L_D, layer)   # exits via v==0
+                # non-D exits
+                is_i = pend & (ch == CH_I)
+                is_m = pend & (ch == CH_M)
+                is_x = pend & (ch == CH_X)
+                runs, rc = emit_merge(runs, rc, is_i, OP_I, one)
+                runs, rc = emit_merge(runs, rc, is_m, OP_M, one)
+                runs, rc = emit_merge(runs, rc, is_x, OP_X, one)
+                io_h = lane_at(iopen, b)
+                layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I),
+                                  layer)
+                hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
+                vcur = vcur - jnp.where(is_m | is_x, 1, 0)
+                pending = is_d & ~capped & (vcur > 0)
+            unfinished = jnp.maximum(unfinished, pending.astype(I32))
+            return hcur, vcur, layer, runs, rc, unfinished
+
+        hcur, vcur, layer, runs, rc, unfinished = jax.lax.fori_loop(
+            0, R, bt_body,
+            (hcur, vcur, layer, runs, rc, jnp.zeros((P, 1), I32)))
+        # tails (ref swg.c:111-117): I x h, then D x v.
+        runs, rc = emit_merge(runs, rc, hcur > 0, OP_I, hcur)
+        runs, rc = emit_merge(runs, rc, vcur > 0, OP_D, vcur)
+        flag = flag | (rc < 1) | (unfinished > 0)
+    else:
+        runs = jnp.zeros((P, 128), I32)
+        rc = jnp.full((P, 1), NRL - 1, I32)
+
+    runs = jnp.where(rlane == 0, rc | (flag.astype(I32) << 8), runs)
+    runs = jnp.where(rlane == 1, jnp.clip(score, -32768, 32767), runs)
+    runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                       interpret: bool = False, packed: bool = False):
+    """Banded Pallas SWG forward + on-device traceback, one fused dispatch.
+
+    Record format as ops/nw_pallas.py: lane0 = cursor | flags<<8, lane1 =
+    score, runs in lanes cursor+1..NRL-1.
+    """
+    R = cfg.read_size
+    n = pats.shape[0]
+    C = band_half(cfg)
+    Rp = _round_up(R + 2, 8)
+    NRL = runs_lanes_nw(cfg)
+    P = 128
+
+    if packed:
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
+        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
+
+    n_orig = n
+    if n % P:
+        padn = _round_up(n, P) - n
+        pats = jnp.pad(pats, ((0, padn), (0, 0)))
+        txts = jnp.pad(txts, ((0, padn), (0, 0)))
+        plens = jnp.pad(plens, (0, padn))
+        tlens = jnp.pad(tlens, (0, padn))
+        n += padn
+    if pats.shape[1] < Rp:
+        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
+
+    kernel = functools.partial(_swg_kernel, cfg, P, Rp, NRL, C)
+    runs = pl.pallas_call(
+        kernel,
+        grid=(n // P,),
+        in_specs=[
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, NRL), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
+        scratch_shapes=[
+            pltpu.VMEM((R + 1, P, 128), jnp.int8),
+        ],
+        interpret=interpret,
+    )(pats, txts, plens.astype(I32).reshape(n, 1),
+      tlens.astype(I32).reshape(n, 1))
+    return {"packed_runs": runs[:n_orig]}
+
+
+def vmem_fit_swg(cfg: AlignConfig) -> bool:
+    bits = (cfg.read_size + 1) * 128 * 128
+    return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
+            and cfg.read_size <= 2047 and band_half(cfg) >= 2)

@@ -36,6 +36,61 @@ def test_wfa_pallas_interpret_matches_oracle(adaptive):
             cigar_of(wops[i], wb[i], we[i]), (i, PAIRS[i])
 
 
+@pytest.mark.parametrize("balanced", [True, False])
+@pytest.mark.parametrize("backtrace", [True, False])
+def test_nw_pallas_interpret_matches_oracle(balanced, backtrace):
+    from aim_tpu.ops.nw_pallas import nw_forward_pallas
+    R = 40
+    pairs = random_pairs(seed=11, n=128, max_len=R - 8, balanced=balanced)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="nw", read_size=R, max_score=10,
+                      backtrace=backtrace, gap_i=2, gap_d=3, mismatch=3)
+    out = nw_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl, mismatch=3,
+                                     gap_i=2, gap_d=3, backtrace=backtrace)
+    ok = ~fb
+    assert ok.mean() > 0.5  # flags are the exception, not the rule
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    if backtrace:
+        wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                           max_score=1 << 30, max_ops=2 * R)
+        for i in range(len(pairs)):
+            if ok[i]:
+                assert cigar_of(oops[i], ob[i], oe[i]) == \
+                    cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
+@pytest.mark.parametrize("balanced", [True, False])
+def test_swg_pallas_interpret_matches_oracle(balanced):
+    from aim_tpu.ops.swg_pallas import swg_forward_pallas
+    R = 40
+    pairs = random_pairs(seed=23, n=128, max_len=R - 8, balanced=balanced)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="swg", read_size=R, max_score=26, backtrace=True,
+                      match=0, mismatch=3, gap_o=4, gap_e=1)
+    out = swg_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.swg_align(pats, txts, pl, tl, match=0,
+                                      mismatch=3, gap_o=4, gap_e=1,
+                                      max_score=26,
+                                      cell_width=cfg.cell_width,
+                                      backtrace=True)
+    ok = ~fb
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R)
+    for i in range(len(pairs)):
+        if ok[i]:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
 def test_wfa_pallas_interpret_overflow_pairs():
     """Pairs exceeding MAX_SCORE must report MAX_SCORE+1 with a '1M' cigar
     (the HBM-tier reference behavior, ref: wfa.c:399-404)."""
