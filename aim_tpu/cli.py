@@ -116,6 +116,13 @@ def main(argv=None) -> int:
         print("Undefined number of input reads")
         return -1
     cfg = config_from_args(args)
+    from aim_tpu.config import wram_feasible
+    if cfg.variant == "vmem" and not wram_feasible(cfg):
+        # Parity with the reference WRAM launchers' feasibility exit
+        # (ref: run-swg-pim-wram.py "Data doesn't fit in the WRAM").
+        print("Data doesn't fit in the WRAM (short-read tier); "
+              "use --variant hbm for long reads")
+        return -1
     if not args.quiet:
         print(f"algo={cfg.algo} MAX_SCORE={cfg.max_score} "
               f"READ_SIZE={cfg.read_size} backtrace={cfg.backtrace} "

@@ -137,6 +137,32 @@ class AlignConfig:
         return dataclasses.replace(self, **kw).validate()
 
 
+def wram_feasible(cfg: AlignConfig) -> bool:
+    """The reference WRAM launchers' per-tasklet memory model (1 tasklet):
+    a config the reference's short-read (DPU-WRAM) tier cannot hold is not
+    a valid 'vmem' config here either — the tiers must mean the same
+    thing, and e.g. SWG's int8 cells only exist in WRAM-feasible sizes.
+
+    ref: run-nw-pim-wram.py:63 (l^2*cell table), run-swg-pim-wram.py:68-70
+    (3 matrices), run-wfa-pim-wram.py:70-85 (all wavefronts live);
+    budget 62000 - 1024 stack (run-*-wram.py tasklet loop).
+    """
+    R = cfg.read_size
+    if cfg.algo == ALGO_NW:
+        bound = 100 + 2 * R + R * R * 2
+    elif cfg.algo == ALGO_SWG:
+        bound = 100 + 2 * R + R * R * cfg.cell_width * 3
+    else:
+        s = cfg.max_score
+        # all wavefronts of all scores live in WRAM: <= (s+1) components,
+        # each 3 arrays of up to (2s+1) offsets (+ header), adaptive keeps
+        # the same worst case bound (ref run-wfa-pim-wram.py:70-85).
+        bound = 100 + 2 * R + (s + 1) * (3 * (2 * s + 1) * cfg.cell_width + 32)
+    if cfg.backtrace:
+        bound += 2 * R
+    return bound < 62000 - 1024
+
+
 def derive_config(
     algo: str,
     read_length: int,

@@ -804,9 +804,14 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
       long total = 0;
       for (long j = start; j < nrl; ++j) total += r[j] & 0xFFF;
       int pos = max_operations - (int)total;
+      // Defensive clamps: a malformed record (e.g. a flagged pair whose
+      // cursor underflowed) must never write outside this pair's row.
+      if (pos < 0) pos = 0;
+      if (pos > max_ops) pos = max_ops;
       begin = pos;
       for (long j = start; j < nrl; ++j) {
         int len = r[j] & 0xFFF;
+        if (len > max_ops - pos) len = max_ops - pos;
         char c = OPC[(r[j] >> 12) & 3];
         std::memset(o + pos, c, (size_t)len);
         pos += len;

@@ -128,12 +128,12 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         return jnp.where(lane <= 126, r, fill)
 
     # pattern window carried across rows: patw[b] at row h = pattern[v-1]
-    # with v = h + b - C, i.e. lane b holds pattern[h + b - C - 1].
-    # For h = 1: pattern[b - C] -> roll pattern right by C lanes... we use
-    # a one-hot-free formulation: maintain the shifted pattern by rolling
-    # LEFT one lane per row (v advances with h).
+    # with v = h + b - C, i.e. lane b holds pattern[h + b - C - 1]; the
+    # window slides by rolling the (full, cyclic) pattern array LEFT one
+    # lane per row and comparing its first 128 lanes.
     # Initial (h=1): lane b -> pattern index b - C (OOB masked later).
-    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, 128 - Rp)),
+    Rpw = max(128, _round_up(Rp, 128))
+    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
                                constant_values=-1), C, 1)
 
     def fwd_body(i, carry):
@@ -144,7 +144,8 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                       keepdims=True)
         v = lane - C + h                       # v of lane b at row h
         valid = (v >= 1) & (v <= plens) & in_band
-        sub = jnp.where(patw == tch, 0, x)
+        patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
+        sub = jnp.where(patb == tch, 0, x)
         # prev row at same v sits at lane b+1; diag (v-1) at lane b.
         ins = jnp.where(valid, sr1(prev, INF) + gi, INF)
         dia = jnp.where(valid, prev + sub, INF)
@@ -172,7 +173,14 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         code = jnp.where(del_eq, C_D,
                          jnp.where(ins_eq, C_I, jnp.where(x_eq, C_X, C_M)))
         code = jnp.where(valid, code, C_M)   # non-D outside valid cells
-        bits_ref[h] = code.astype(jnp.int8)
+        # 4 rows of 2-bit codes share one byte plane (VMEM-fit for long
+        # reads); the first row landing in a byte writes it fresh.
+        q = h >> 2
+        shq = 2 * (h & 3)
+        old = bits_ref[q].astype(I32) & 0xFF
+        fresh = ((h & 3) == 0) | (h == 1)
+        newb = jnp.where(fresh, code << shq, old | (code << shq))
+        bits_ref[q] = newb.astype(jnp.int8)
 
         at_end = (h == tlens)
         b_end = plens - tlens + C
@@ -180,7 +188,7 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                        keepdims=True)
         score = jnp.where(at_end, endv, score)
 
-        patw2 = pltpu.roll(patw, 127, 1)     # advance the pattern window
+        patw2 = pltpu.roll(patw, Rpw - 1, 1)  # advance the pattern window
         return cur, patw2, score, overflow
 
     prev0 = row0
@@ -233,7 +241,7 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             hcur, vcur, runs, rc = st
             h = R - i
             act = (hcur == h) & (hcur > 0) & (vcur > 0)
-            cr = bits_ref[h].astype(I32)
+            cr = (bits_ref[h >> 2].astype(I32) >> (2 * (h & 3))) & 3
             # run of consecutive D codes ending at each lane:
             # pm[lane] = last lane' <= lane with code != D.
             nd = jnp.where(cr != C_D, lane, -1)
@@ -329,7 +337,8 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            pltpu.VMEM((R + 1, P, 128), jnp.int8),  # direction codes
+            # direction codes, 4 rows of 2-bit codes per byte
+            pltpu.VMEM((R // 4 + 1, P, 128), jnp.int8),
         ],
         interpret=interpret,
     )(pats, txts, plens.astype(I32).reshape(n, 1),
@@ -338,8 +347,10 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
 
 def vmem_fit_nw(cfg: AlignConfig) -> bool:
-    """The codes plane ((R+1) x 128 x 128 i8) is the dominant scratch;
-    2x slack for block buffers + the kernel body's spill stack."""
-    bits = (cfg.read_size + 1) * 128 * 128
+    """The codes plane ((R//4+1) x 128 x 128 i8, 4 rows per byte) is the
+    dominant scratch; 2x slack for block buffers + the kernel body's
+    spill stack.  Covers the reference's long-read tier (NW-MRAM default
+    READ_SIZE 1120, ref: NW/DPU-MRAM/common/common.h:84)."""
+    bits = (cfg.read_size // 4 + 1) * 128 * 128
     return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
             and cfg.read_size <= 2047 and band_half(cfg) >= 2)

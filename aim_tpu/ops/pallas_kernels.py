@@ -1,17 +1,26 @@
 """Backend dispatch for the hand-written Pallas TPU kernels.
 
 forward_fn(cfg) returns a kernel callable with the same signature as the
-XLA implementations, or None when no Pallas kernel covers the config yet
+XLA implementations, or None when no Pallas kernel covers the config
 (the caller falls back to XLA).
+
+Tier note: the banded NW/SWG kernels serve BOTH memory tiers — the
+variants differ only in cell width (SWG) and the WFA overflow divergence,
+which the kernels parameterize — but an SWG 'vmem' (int8-cell) config is
+only accepted within the reference WRAM launcher's feasibility envelope:
+outside it the reference short-read tier does not exist, int8 wrap at
+far-from-band cells becomes possible, and the full-width XLA path (whose
+wrap flags see every cell) is the exact fallback.
 """
 
 from __future__ import annotations
 
-from aim_tpu.config import ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig
+from aim_tpu.config import (ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig,
+                            wram_feasible)
 
 
 def forward_fn(cfg: AlignConfig):
-    if cfg.algo == ALGO_WFA and cfg.variant == "vmem":
+    if cfg.algo == ALGO_WFA:
         from aim_tpu.ops.wfa_pallas import vmem_fit, wfa_forward_pallas
 
         # The packed runs record needs <= 128 emit lanes and an 8-bit
@@ -22,7 +31,7 @@ def forward_fn(cfg: AlignConfig):
                 return wfa_forward_pallas(*args, **kw)
 
             return fn
-    if cfg.algo == ALGO_NW and cfg.variant == "vmem":
+    if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_pallas import nw_forward_pallas, vmem_fit_nw
 
         if vmem_fit_nw(cfg):
@@ -30,10 +39,11 @@ def forward_fn(cfg: AlignConfig):
                 return nw_forward_pallas(*args, **kw)
 
             return fn
-    if cfg.algo == ALGO_SWG and cfg.variant == "vmem":
+    if cfg.algo == ALGO_SWG:
         from aim_tpu.ops.swg_pallas import swg_forward_pallas, vmem_fit_swg
 
-        if vmem_fit_swg(cfg):
+        int8_ok = cfg.cell_width != 1 or wram_feasible(cfg)
+        if vmem_fit_swg(cfg) and int8_ok:
             def fn(*args, **kw):
                 return swg_forward_pallas(*args, **kw)
 

@@ -125,7 +125,8 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         r = pltpu.roll(w, 127, 1)
         return jnp.where(lane <= 126, r, fill)
 
-    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, 128 - Rp)),
+    Rpw = max(128, _round_up(Rp, 128))
+    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
                                constant_values=-1), C, 1)
 
     def fwd_body(i, carry):
@@ -135,7 +136,8 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                       keepdims=True)
         v = lane - C + h
         valid = (v >= 1) & (v <= plens) & in_band
-        sub = jnp.where(patw == tch, mat, mis)
+        patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
+        sub = jnp.where(patb == tch, mat, mis)
 
         # column-0 boundary triple (clean: M=I=GO+h*GE, D=MS; aliased
         # h>=2: deep chain -> INF, guarded by the plen flag; h==1 aliased
@@ -182,7 +184,14 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         i_open = (i_cur == sr1(pm, INF) + go + ge).astype(I32)
         code = jnp.where(valid, choice | (d_open << 2) | (i_open << 3),
                          CH_M)
-        bits_ref[h] = code.astype(jnp.int8)
+        # 2 rows of 4-bit codes share one byte plane (VMEM-fit for long
+        # reads); the first row landing in a byte writes it fresh.
+        q = h >> 1
+        shq = 4 * (h & 1)
+        old = bits_ref[q].astype(I32) & 0xFF
+        fresh = ((h & 1) == 0) | (h == 1)
+        newb = jnp.where(fresh, code << shq, old | (code << shq))
+        bits_ref[q] = newb.astype(jnp.int8)
 
         at_end = (h == tlens)
         b_end = plens - tlens + C
@@ -190,7 +199,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                        keepdims=True)
         score = jnp.where(at_end, endv, score)
 
-        patw2 = pltpu.roll(patw, 127, 1)
+        patw2 = pltpu.roll(patw, Rpw - 1, 1)
         return m_cur, i_cur, d_cur, patw2, score, overflow
 
     score0 = jnp.zeros((P, 1), I32)
@@ -247,7 +256,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             hcur, vcur, layer, runs, rc, unfinished = st
             h = R - i
             act = (hcur == h) & (hcur > 0) & (vcur > 0)
-            cr = bits_ref[h].astype(I32)
+            cr = (bits_ref[h >> 1].astype(I32) >> (4 * (h & 1))) & 0xF
             choice = cr & 3
             dopen = (cr >> 2) & 1
             iopen = (cr >> 3) & 1
@@ -365,7 +374,8 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            pltpu.VMEM((R + 1, P, 128), jnp.int8),
+            # direction codes, 2 rows of 4-bit codes per byte
+            pltpu.VMEM((R // 2 + 1, P, 128), jnp.int8),
         ],
         interpret=interpret,
     )(pats, txts, plens.astype(I32).reshape(n, 1),
@@ -374,6 +384,8 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
 
 def vmem_fit_swg(cfg: AlignConfig) -> bool:
-    bits = (cfg.read_size + 1) * 128 * 128
+    """Covers the reference's long-read tier (SWG-MRAM default READ_SIZE
+    560, ref: SWG/*/common/common.h)."""
+    bits = (cfg.read_size // 2 + 1) * 128 * 128
     return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
             and cfg.read_size <= 2047 and band_half(cfg) >= 2)
