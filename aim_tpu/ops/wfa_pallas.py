@@ -514,7 +514,9 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Rp = _round_up(R + 2, 8)
     S2 = smax + 2
     NRL = runs_lanes(smax) if cfg.backtrace else 8
-    P = 128 if Kp <= 128 else 64
+    P = tile_pairs(cfg)
+    if P is None:
+        raise ValueError("config exceeds the VMEM budget; use the XLA tier")
     nm_dtype = jnp.int8 if R + 1 < 128 else I16
 
     if packed:
@@ -563,17 +565,25 @@ def wfa_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     return {"packed_runs": runs[:n_orig]}
 
 
-def vmem_fit(cfg: AlignConfig) -> bool:
-    """Conservative VMEM-fit gate for the fused kernel (v5e: 16 MB;
-    compile fails with a scoped-vmem OOM beyond it — PERFNOTES.md §3).
-    Budget: NM + 3 history planes + ~2x slack for the kernel body's
-    spill stack and block double-buffering."""
+def tile_pairs(cfg: AlignConfig):
+    """Largest pair-tile P whose fused-kernel scratch fits VMEM (v5e:
+    16 MB; compile fails with a scoped-vmem OOM beyond it —
+    PERFNOTES.md §3), or None.  Budget: NM + 3 history planes + ~2x
+    slack for the kernel body's spill stack and block double-buffering.
+    Long reads shrink P instead of falling off the fast path (the
+    NM plane scales with K*R)."""
     smax = cfg.max_score
     R = cfg.read_size
     K8 = _round_up(2 * smax + 1, 8)
     Rp = _round_up(R + 2, 8)
     Kp = _round_up(2 * smax + 1, 128)
-    P = 128 if Kp <= 128 else 64
-    nm_bytes = K8 * P * Rp * (1 if R + 1 < 128 else 2)
-    hist_bytes = 3 * (smax + 2) * P * Kp * 2
-    return 2 * (nm_bytes + hist_bytes) + 4 * 1024 * 1024 < 16 * 1024 * 1024
+    for P in (128, 64, 32, 16):
+        nm_bytes = K8 * P * Rp * (1 if R + 1 < 128 else 2)
+        hist_bytes = 3 * (smax + 2) * P * Kp * 2
+        if 2 * (nm_bytes + hist_bytes) + 4 * 1024 * 1024 < 16 * 1024 * 1024:
+            return P
+    return None
+
+
+def vmem_fit(cfg: AlignConfig) -> bool:
+    return tile_pairs(cfg) is not None
