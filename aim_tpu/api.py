@@ -124,21 +124,24 @@ def _pad_batch(arrs, size):
 
 
 def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
-    """Exact-semantics host path (used for flagged-pair fallback)."""
+    """Exact-semantics host path (used for flagged-pair fallback);
+    threads=0 sizes a pool from the host — flagged batches can be large
+    and the per-pair work is embarrassingly parallel."""
     if cfg.algo == ALGO_NW:
         return native.nw_align(pats, txts, plens, tlens,
                                mismatch=cfg.mismatch, gap_i=cfg.gap_i,
-                               gap_d=cfg.gap_d, backtrace=cfg.backtrace)
+                               gap_d=cfg.gap_d, backtrace=cfg.backtrace,
+                               threads=0)
     if cfg.algo == ALGO_SWG:
         return native.swg_align(pats, txts, plens, tlens, match=cfg.match,
                                 mismatch=cfg.mismatch, gap_o=cfg.gap_o,
                                 gap_e=cfg.gap_e, max_score=cfg.max_score,
                                 cell_width=cfg.cell_width,
-                                backtrace=cfg.backtrace)
+                                backtrace=cfg.backtrace, threads=0)
     return native.wfa_align(pats, txts, plens, tlens, mismatch=cfg.mismatch,
                             gap_o=cfg.gap_o, gap_e=cfg.gap_e,
                             max_score=cfg.max_score, adaptive=cfg.adaptive,
-                            backtrace=cfg.backtrace)
+                            backtrace=cfg.backtrace, threads=0)
 
 
 def _memory_batch_cap(cfg: AlignConfig, budget_bytes=2 << 30) -> int:

@@ -93,6 +93,11 @@ def load():
             _i16p, ctypes.c_long, _i32p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, _chp, _i32p, _i32p,
         ]
+        lib.aim_pack_seqs.restype = ctypes.c_int
+        lib.aim_pack_seqs.argtypes = [
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, _i8p, _i8p,
+        ]
         lib.aim_emit_output.restype = ctypes.c_long
         lib.aim_emit_output.argtypes = [
             ctypes.c_char_p, _i32p, _i32p, _chp, _i32p, _i32p,
@@ -144,7 +149,26 @@ def _prep(pats, txts, plens, tlens):
             np.ascontiguousarray(tlens, np.int32))
 
 
-def nw_align(pats, txts, plens, tlens, *, mismatch, gap_i, gap_d, backtrace):
+def _run_chunked(n, threads, worker):
+    """Run worker(lo, hi) over [0, n) with a thread pool.  ctypes releases
+    the GIL during the C calls, so row-chunk parallelism scales; threads=1
+    keeps the single-thread semantics (the bench baseline), threads=0
+    picks a pool size from the host."""
+    if threads in (None, 0):
+        threads = min(os.cpu_count() or 1, 16)
+    if threads <= 1 or n < 64:
+        worker(0, n)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    step = -(-n // threads)
+    spans = [(i * step, min(n, (i + 1) * step)) for i in range(threads)
+             if i * step < n]
+    with ThreadPoolExecutor(len(spans)) as ex:
+        list(ex.map(lambda s: worker(*s), spans))
+
+
+def nw_align(pats, txts, plens, tlens, *, mismatch, gap_i, gap_d, backtrace,
+             threads=1):
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
     n, read_size = pats.shape
@@ -153,14 +177,19 @@ def nw_align(pats, txts, plens, tlens, *, mismatch, gap_i, gap_d, backtrace):
     ops = np.zeros((n, max_ops), np.uint8)
     begin = np.zeros(n, np.int32)
     end = np.zeros(n, np.int32)
-    lib.aim_nw_align(pats, txts, plens, tlens, n, read_size,
-                     mismatch, gap_i, gap_d, int(backtrace),
-                     scores, ops, begin, end)
+
+    def worker(lo, hi):
+        lib.aim_nw_align(pats[lo:hi], txts[lo:hi], plens[lo:hi],
+                         tlens[lo:hi], hi - lo, read_size,
+                         mismatch, gap_i, gap_d, int(backtrace),
+                         scores[lo:hi], ops[lo:hi], begin[lo:hi], end[lo:hi])
+
+    _run_chunked(n, threads, worker)
     return scores, ops, begin, end
 
 
 def swg_align(pats, txts, plens, tlens, *, match, mismatch, gap_o, gap_e,
-              max_score, cell_width, backtrace):
+              max_score, cell_width, backtrace, threads=1):
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
     n, read_size = pats.shape
@@ -169,14 +198,20 @@ def swg_align(pats, txts, plens, tlens, *, match, mismatch, gap_o, gap_e,
     ops = np.zeros((n, max_ops), np.uint8)
     begin = np.zeros(n, np.int32)
     end = np.zeros(n, np.int32)
-    lib.aim_swg_align(pats, txts, plens, tlens, n, read_size,
-                      match, mismatch, gap_o, gap_e, max_score, cell_width,
-                      int(backtrace), scores, ops, begin, end)
+
+    def worker(lo, hi):
+        lib.aim_swg_align(pats[lo:hi], txts[lo:hi], plens[lo:hi],
+                          tlens[lo:hi], hi - lo, read_size,
+                          match, mismatch, gap_o, gap_e, max_score,
+                          cell_width, int(backtrace),
+                          scores[lo:hi], ops[lo:hi], begin[lo:hi], end[lo:hi])
+
+    _run_chunked(n, threads, worker)
     return scores, ops, begin, end
 
 
 def wfa_align(pats, txts, plens, tlens, *, mismatch, gap_o, gap_e, max_score,
-              adaptive, backtrace):
+              adaptive, backtrace, threads=1):
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
     n, read_size = pats.shape
@@ -185,9 +220,15 @@ def wfa_align(pats, txts, plens, tlens, *, mismatch, gap_o, gap_e, max_score,
     ops = np.zeros((n, max_ops), np.uint8)
     begin = np.zeros(n, np.int32)
     end = np.zeros(n, np.int32)
-    lib.aim_wfa_align(pats, txts, plens, tlens, n, read_size,
-                      mismatch, gap_o, gap_e, max_score, int(adaptive),
-                      int(backtrace), scores, ops, begin, end)
+
+    def worker(lo, hi):
+        lib.aim_wfa_align(pats[lo:hi], txts[lo:hi], plens[lo:hi],
+                          tlens[lo:hi], hi - lo, read_size,
+                          mismatch, gap_o, gap_e, max_score, int(adaptive),
+                          int(backtrace),
+                          scores[lo:hi], ops[lo:hi], begin[lo:hi], end[lo:hi])
+
+    _run_chunked(n, threads, worker)
     return scores, ops, begin, end
 
 
@@ -289,6 +330,22 @@ def emit_output(path, idx, scores, ops, begin, end, backtrace):
     if r < 0:
         raise IOError(f"cannot write {path}")
     return r
+
+
+def pack_seqs(pats, txts, plens, tlens, rp):
+    """2-bit-pack a pair batch for upload (see ops/wfa_pallas.pack_seqs).
+    Returns (packed_pats, packed_txts, True) or (pats, txts, False)."""
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    rb = rp // 4
+    out_p = np.zeros((n, rb), np.uint8)
+    out_t = np.zeros((n, rb), np.uint8)
+    ok = lib.aim_pack_seqs(pats, txts, plens, tlens, n, read_size, rp,
+                           out_p, out_t)
+    if not ok:
+        return pats, txts, False
+    return out_p, out_t, True
 
 
 def wfa_runs_to_ops(runs, scores, plens, tlens, *, max_score, max_ops):

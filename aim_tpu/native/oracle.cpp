@@ -860,3 +860,60 @@ extern "C" long aim_emit_output(const char *path, const int32_t *idx,
   return sz;
 }
 
+
+// ---------------------------------------------------------------------------
+// 2-bit sequence packing for H2D uploads (see ops/wfa_pallas.pack_seqs).
+// Returns 1 and fills out_p/out_t ([n, Rp/4] bytes, 4 bases per byte,
+// little-endian 2-bit fields) when the COMBINED alphabet has <= 4 nonzero
+// symbols and byte 0 never occurs inside a valid region; else returns 0.
+// One shared injective recode preserves alignment semantics (the kernels
+// only compare pattern bytes against text bytes for equality).
+// ---------------------------------------------------------------------------
+
+extern "C" int aim_pack_seqs(const uint8_t *pats, const uint8_t *txts,
+                             const int32_t *plens, const int32_t *tlens,
+                             long n, int read_size, int rp,
+                             uint8_t *out_p, uint8_t *out_t) {
+  bool seen[256] = {false};
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *p = pats + i * read_size;
+    const uint8_t *t = txts + i * read_size;
+    const int pl = plens[i], tl = tlens[i];
+    for (int j = 0; j < pl; ++j) {
+      if (!p[j]) return 0;  // interior NUL would alias the padding code
+      seen[p[j]] = true;
+    }
+    for (int j = 0; j < tl; ++j) {
+      if (!t[j]) return 0;
+      seen[t[j]] = true;
+    }
+  }
+  uint8_t lut[256] = {0};
+  int nsym = 0;
+  for (int c = 1; c < 256; ++c) {
+    if (seen[c]) {
+      if (nsym == 4) return 0;
+      lut[c] = (uint8_t)nsym++;
+    }
+  }
+  const int rb = rp / 4;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *p = pats + i * read_size;
+    const uint8_t *t = txts + i * read_size;
+    uint8_t *op = out_p + i * rb;
+    uint8_t *ot = out_t + i * rb;
+    for (int b = 0; b < rb; ++b) {
+      uint8_t vp = 0, vt = 0;
+      for (int q = 0; q < 4; ++q) {
+        const int j = 4 * b + q;
+        if (j < read_size) {
+          vp |= (uint8_t)(lut[p[j]] << (2 * q));
+          vt |= (uint8_t)(lut[t[j]] << (2 * q));
+        }
+      }
+      op[b] = vp;
+      ot[b] = vt;
+    }
+  }
+  return 1;
+}

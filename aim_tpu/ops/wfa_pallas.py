@@ -464,6 +464,14 @@ def pack_seqs(pats: "np.ndarray", txts: "np.ndarray", plens, tlens,
     """
     import numpy as np
     Rp = _round_up(read_size + 2, 8)
+    try:
+        from aim_tpu import native
+        if native.available():
+            return native.pack_seqs(np.ascontiguousarray(pats, np.uint8),
+                                    np.ascontiguousarray(txts, np.uint8),
+                                    plens, tlens, Rp)
+    except Exception:
+        pass  # fall through to the numpy path
     seen = np.zeros(256, bool)
     seen[pats.reshape(-1)] = True
     seen[txts.reshape(-1)] = True
