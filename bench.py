@@ -70,10 +70,15 @@ def main():
 
     # Absorb the relay's first-D2H lottery in a throwaway child process
     # (a completed D2H warms the relay across processes for a while).
-    r = subprocess.run([sys.executable, "-c", _WARM_CHILD],
-                       capture_output=True, text=True,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
-    print(f"# {r.stdout.strip()}", file=sys.stderr)
+    # Capped: if the relay is badly wedged the warmup run below simply
+    # pays the stall itself — the timed region stays clean either way.
+    try:
+        r = subprocess.run([sys.executable, "-c", _WARM_CHILD],
+                           capture_output=True, text=True, timeout=900,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        print(f"# {r.stdout.strip()}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("# warm child timed out (relay stall > 900s)", file=sys.stderr)
 
     # Warmup: full-shape run compiles the executables, and its device_get
     # deliberately switches this process into the eager dispatch mode —

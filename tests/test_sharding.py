@@ -31,6 +31,49 @@ def test_sharded_wfa_matches_oracle():
             cigar_of(oops[i], ob[i], oe[i])
 
 
+def test_shard_map_pallas_interpret_matches_oracle():
+    """The real multi-chip code path (one Pallas kernel instance per pair
+    shard via shard_map), in interpreter mode on the CPU mesh."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+
+    R = 24
+    pairs = random_pairs(seed=37, n=128, max_len=R)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=12, backtrace=True,
+                      adaptive=True)
+    mesh = make_mesh()
+    inner = functools.partial(wfa_forward_pallas, cfg=cfg, interpret=True)
+    fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
+                   in_specs=(P("pairs"),) * 4,
+                   out_specs={"packed_runs": P("pairs", None)},
+                   check_rep=False)
+    packed = np.asarray(fn(pats, txts, pl.astype(np.int32),
+                           tl.astype(np.int32))["packed_runs"])
+    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
+    osc, _, _, _ = nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4,
+                                 gap_e=1, max_score=12, adaptive=True,
+                                 backtrace=False)
+    np.testing.assert_array_equal(sc, osc)
+
+
+def test_multihost_runner_single_process(tmp_path):
+    from aim_tpu.parallel.runner import align_file_multihost
+    from tests.util import write_pair_file
+    pairs = random_pairs(seed=41, n=24, max_len=20)
+    inp = str(tmp_path / "pairs.txt")
+    write_pair_file(inp, pairs)
+    out = str(tmp_path / "out.txt")
+    cfg = AlignConfig(algo="wfa", read_size=32, max_score=8, backtrace=True,
+                      backend="xla")
+    n, res = align_file_multihost(inp, out, 24, cfg, verbose=False)
+    assert n == 24
+    lines = open(out).read().splitlines()
+    assert len(lines) == 48 and lines[0].startswith("0, ")
+
+
 def test_shard_range_covers_and_preserves_order():
     from aim_tpu.parallel.mesh import shard_range
     total = 1003
