@@ -91,7 +91,6 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     multi_alias = plens > tlens + 1
 
     lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)   # band lane b
-    riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
     pat32 = pats_ref[:].astype(I32)      # [P, Rp]
     txt32 = txts_ref[:].astype(I32)
 
@@ -137,11 +136,10 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                                constant_values=-1), C, 1)
 
     def fwd_body(i, carry):
-        prev, patw, score, overflow = carry
+        prev, patw, txtw, score, overflow = carry
         h = i + 1
-        # text char of this row, [P, 1]
-        tch = jnp.sum(jnp.where(riota == h - 1, txt32, 0), axis=1,
-                      keepdims=True)
+        # text char of this row: lane 0 of the rolled text window
+        tch = jax.lax.slice_in_dim(txtw, 0, 1, axis=1)
         v = lane - C + h                       # v of lane b at row h
         valid = (v >= 1) & (v <= plens) & in_band
         patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
@@ -189,13 +187,15 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         score = jnp.where(at_end, endv, score)
 
         patw2 = pltpu.roll(patw, Rpw - 1, 1)  # advance the pattern window
-        return cur, patw2, score, overflow
+        txtw2 = pltpu.roll(txtw, Rpw - 1, 1)
+        return cur, patw2, txtw2, score, overflow
 
     prev0 = row0
+    txtw0 = jnp.pad(txt32, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
     score0 = jnp.zeros((P, 1), I32)
     ovf0 = jnp.zeros((P, 1), I32)
-    _, _, score, overflow = jax.lax.fori_loop(
-        0, R, fwd_body, (prev0, patw0, score0, ovf0))
+    _, _, _, score, overflow = jax.lax.fori_loop(
+        0, R, fwd_body, (prev0, patw0, txtw0, score0, ovf0))
     overflow = overflow > 0
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
 
@@ -265,9 +265,8 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             is_m = act2 & (code2 == C_M)
             is_x = act2 & (code2 == C_X)
             one = jnp.ones((P, 1), I32)
-            runs, rc = emit_merge(runs, rc, is_i, OP_I, one)
-            runs, rc = emit_merge(runs, rc, is_m, OP_M, one)
-            runs, rc = emit_merge(runs, rc, is_x, OP_X, one)
+            op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
+            runs, rc = emit_merge(runs, rc, is_i | is_m | is_x, op_sel, one)
             hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
             vcur = vcur - jnp.where(is_m | is_x, 1, 0)
             return hcur, vcur, runs, rc

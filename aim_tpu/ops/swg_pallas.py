@@ -84,7 +84,6 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     multi_alias = plens > tlens + 1
 
     lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
-    riota = jax.lax.broadcasted_iota(I32, (P, Rp), 1)
     pat32 = pats_ref[:].astype(I32)
     txt32 = txts_ref[:].astype(I32)
     in_band = lane < B
@@ -130,10 +129,10 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                                constant_values=-1), C, 1)
 
     def fwd_body(i, carry):
-        pm, pi, pd, patw, score, overflow = carry
+        pm, pi, pd, patw, txtw, score, overflow = carry
         h = i + 1
-        tch = jnp.sum(jnp.where(riota == h - 1, txt32, 0), axis=1,
-                      keepdims=True)
+        # text char of this row: lane 0 of the rolled text window
+        tch = jax.lax.slice_in_dim(txtw, 0, 1, axis=1)
         v = lane - C + h
         valid = (v >= 1) & (v <= plens) & in_band
         patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
@@ -200,12 +199,14 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         score = jnp.where(at_end, endv, score)
 
         patw2 = pltpu.roll(patw, Rpw - 1, 1)
-        return m_cur, i_cur, d_cur, patw2, score, overflow
+        txtw2 = pltpu.roll(txtw, Rpw - 1, 1)
+        return m_cur, i_cur, d_cur, patw2, txtw2, score, overflow
 
+    txtw0 = jnp.pad(txt32, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
     score0 = jnp.zeros((P, 1), I32)
     ovf0 = jnp.zeros((P, 1), I32)
-    _, _, _, _, score, overflow = jax.lax.fori_loop(
-        0, R, fwd_body, (m0, i0, d0, patw0, score0, ovf0))
+    _, _, _, _, _, score, overflow = jax.lax.fori_loop(
+        0, R, fwd_body, (m0, i0, d0, patw0, txtw0, score0, ovf0))
     overflow = overflow > 0
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
 
@@ -278,13 +279,14 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
 
             # M-phase (may chain M -> D-run -> M within the row).  A
             # fixed unroll instead of a while_loop (data-dependent loops
-            # fault this target); each extra chain link costs >= GO+GE of
-            # score, so 4 links cover everything real — a pair still
-            # pending after that is flagged to the fallback path.
+            # fault this target); every chain link beyond the first costs
+            # >= GO+GE of score, so 1 + MAX_SCORE//(GO+GE) links (capped
+            # at 4) cover everything unflagged — a pair still pending
+            # after that is flagged to the fallback path.
             # (A pair whose I-arrival step just returned it to M has moved
             # to row h-1 — it must NOT run this row's M-phase.)
             pending = act & (layer == L_M) & ~in_i
-            for _ in range(4):
+            for _ in range(min(4, 1 + ms // (go + ge))):
                 pend = pending
                 b = vcur - h + C
                 ch = lane_at(choice, b)
@@ -296,13 +298,13 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                 runs, rc = emit_merge(runs, rc, is_d, OP_D, dlen)
                 vcur = vcur - dlen
                 layer = jnp.where(capped, L_D, layer)   # exits via v==0
-                # non-D exits
+                # non-D exits: one merged emit with a per-pair op code
                 is_i = pend & (ch == CH_I)
                 is_m = pend & (ch == CH_M)
                 is_x = pend & (ch == CH_X)
-                runs, rc = emit_merge(runs, rc, is_i, OP_I, one)
-                runs, rc = emit_merge(runs, rc, is_m, OP_M, one)
-                runs, rc = emit_merge(runs, rc, is_x, OP_X, one)
+                op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
+                runs, rc = emit_merge(runs, rc, is_i | is_m | is_x,
+                                      op_sel, one)
                 io_h = lane_at(iopen, b)
                 layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I),
                                   layer)
