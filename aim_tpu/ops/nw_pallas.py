@@ -149,9 +149,12 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         dia = jnp.where(valid, prev + sub, INF)
         indep = jnp.minimum(ins, dia)
         # column-0 boundary: v=0 at lane b = C - h (in-band for h <= C).
-        col0 = jnp.where(aliased,
-                         jnp.where(h == 1, gi, INF),    # deep chain: INF
-                         h * gi)
+        # For ALIASED pairs (plen == tlen+1) the flat-tape chain
+        # cell(h-1, plen) bootstraps from the aliased h-boundary slot and
+        # reproduces EXACTLY the clean h*GAP_I by induction (the
+        # insertion term h*gi stays below dia/dl ~ (plen-h)*gd while the
+        # guard below holds), so clean and aliased share one closed form.
+        col0 = h * gi
         z = jnp.where((v == 0) & in_band, col0, indep)
         z = jnp.where(valid | ((v == 0) & in_band), z, INF)
         cur = minplus(z)
@@ -202,7 +205,13 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # ---- band-exactness conditions -> needs_fallback flag ----
     dmax = score // (gi + gd)
     bad_band = (jnp.abs(kend) + dmax + 1) > C
-    bad_alias = aliased & (plens <= (score // gd) + dmax + 2)
+    # Aliased chain-induction validity: the closed-form column 0 (h*gi)
+    # equals the flat-tape chain only while the chain's insertion term
+    # dominates at (h, plen), i.e. h*gi <= (plen-h)*gd for every row h in
+    # the influence region Hs (column 0 can affect walk-visited cells up
+    # to h ~ C + dmax).
+    hs = C + dmax + 3
+    bad_alias = aliased & (hs * gi > (plens - hs) * gd)
     flag = multi_alias | bad_band | bad_alias | overflow
     flag = flag | (plens > tlens + C) | (tlens > plens + C)
 

@@ -138,10 +138,12 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
         sub = jnp.where(patb == tch, mat, mis)
 
-        # column-0 boundary triple (clean: M=I=GO+h*GE, D=MS; aliased
-        # h>=2: deep chain -> INF, guarded by the plen flag; h==1 aliased
-        # equals clean).
-        mb = jnp.where(aliased & (h >= 2), INF, go + h * ge)
+        # column-0 boundary triple.  Clean: M=I=GO+h*GE, D=MS.  Aliased
+        # (plen == tlen+1): the flat-tape chain cell(h-1, plen) bootstraps
+        # from the aliased boundary slot and reproduces the clean M/I
+        # (go+h*ge, by induction — guarded by the alias flag below) while
+        # its D plane is genuinely large -> INF.
+        mb = go + h * ge
         ib = mb
         db = jnp.where(aliased & (h >= 2), INF, ms)
 
@@ -219,7 +221,13 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # row-0/column-0 ancestor at distance <= depth + dmax must itself be
     # out-of-band — impossible while (s - MS)/GE + dmax <= C.
     bad_sentinel = ((score - ms) // ge + dmax) > C
-    bad_alias = aliased & (plens <= (score // ge) + dmax + 2)
+    # Aliased chain-induction validity (see the column-0 comment): the
+    # closed-form M/I chain needs its insertion term to dominate at
+    # (h, plen) throughout the influence region; negative match costs
+    # void the dia lower bound entirely.
+    hs = C + dmax + 3
+    bad_alias = aliased & (
+        ((2 * go + (hs + 1) * ge) > (plens - hs - 1) * ge) | (mat < 0))
     flag = (multi_alias | bad_band | bad_sentinel | bad_alias | overflow
             | (plens > tlens + C) | (tlens > plens + C) | (score < 0))
 

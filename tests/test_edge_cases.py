@@ -1,0 +1,68 @@
+"""Degenerate inputs (empty/one-char sequences, all-mismatch) through the
+Pallas interpret kernels vs the exact oracle."""
+
+import numpy as np
+import pytest
+
+import aim_tpu.native as nat
+from aim_tpu.config import AlignConfig
+from tests.util import cigar_of, pack
+
+R = 16
+EDGE = [("", "ACG"), ("ACG", ""), ("", ""), ("A", "A"), ("A", "T"),
+        ("AC", "A"), ("A", "AC"), ("ACGT", "ACGT"), ("AAAA", "TTTT")] * 2
+PACKED = pack(EDGE, R)
+
+
+def _check_runs(packed, sc, fb, oracle, max_score):
+    osc, oops, ob, oe = oracle
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, *PACKED[2:],
+                                       max_score=max_score, max_ops=2 * R)
+    for i in range(len(EDGE)):
+        if fb is not None and fb[i]:
+            continue
+        assert sc[i] == osc[i], (i, EDGE[i])
+        assert cigar_of(oops[i], ob[i], oe[i]) == \
+            cigar_of(wops[i], wb[i], we[i]), (i, EDGE[i])
+
+
+def test_nw_pallas_edge_cases():
+    from aim_tpu.ops.nw_pallas import nw_forward_pallas
+    pats, txts, pl, tl = PACKED
+    cfg = AlignConfig(algo="nw", read_size=R, max_score=8, backtrace=True)
+    pk = np.asarray(nw_forward_pallas(pats, txts, pl, tl, cfg=cfg,
+                                      interpret=True)["packed_runs"])
+    sc = pk[:, 1].astype(np.int32)
+    fb = ((pk[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    assert fb.mean() < 0.5
+    oracle = nat.nw_align(pats, txts, pl, tl, mismatch=3, gap_i=4, gap_d=4,
+                          backtrace=True)
+    _check_runs(pk, sc, fb, oracle, 1 << 30)
+
+
+def test_swg_pallas_edge_cases():
+    from aim_tpu.ops.swg_pallas import swg_forward_pallas
+    pats, txts, pl, tl = PACKED
+    cfg = AlignConfig(algo="swg", read_size=R, max_score=20, backtrace=True)
+    pk = np.asarray(swg_forward_pallas(pats, txts, pl, tl, cfg=cfg,
+                                       interpret=True)["packed_runs"])
+    sc = pk[:, 1].astype(np.int32)
+    fb = ((pk[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    assert fb.mean() < 0.5
+    oracle = nat.swg_align(pats, txts, pl, tl, match=0, mismatch=3, gap_o=4,
+                           gap_e=1, max_score=20, cell_width=1,
+                           backtrace=True)
+    _check_runs(pk, sc, fb, oracle, 1 << 30)
+
+
+def test_wfa_pallas_edge_cases():
+    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    pats, txts, pl, tl = PACKED
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=10, backtrace=True,
+                      adaptive=True)
+    pk = np.asarray(wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg,
+                                       interpret=True)["packed_runs"])
+    sc = (pk[:, 0].astype(np.int32) >> 8) & 0xFF
+    oracle = nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4, gap_e=1,
+                           max_score=10, adaptive=True, backtrace=True)
+    _check_runs(pk, sc, None, oracle, 10)
