@@ -63,6 +63,30 @@ def test_nw_pallas_interpret_matches_oracle(balanced, backtrace):
                     cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
 
 
+def test_nw_pallas_cheap_gaps_alias_chain():
+    """Regression: cheap gaps make walks touch column 0, whose aliased
+    flat-tape chain equals the CLEAN boundary (caught by fuzzing)."""
+    from aim_tpu.ops.nw_pallas import nw_forward_pallas
+    R = 40
+    pairs = random_pairs(seed=101, n=256, max_len=R - 8, balanced=False)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="nw", read_size=R, max_score=16,
+                      backtrace=True, gap_i=1, gap_d=1, mismatch=4)
+    out = nw_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl, mismatch=4,
+                                     gap_i=1, gap_d=1, backtrace=True)
+    np.testing.assert_array_equal(sc[~fb], osc[~fb])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R)
+    for i in range(len(pairs)):
+        if not fb[i]:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
 @pytest.mark.parametrize("balanced", [True, False])
 def test_swg_pallas_interpret_matches_oracle(balanced):
     from aim_tpu.ops.swg_pallas import swg_forward_pallas
