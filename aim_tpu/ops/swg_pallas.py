@@ -228,8 +228,15 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     hs = C + dmax + 3
     bad_alias = aliased & (
         ((2 * go + (hs + 1) * ge) > (plens - hs - 1) * ge) | (mat < 0))
+    # Boundary-sourced wrap: the reference casts each candidate (e.g.
+    # M[h,0] + GO + GE) to the cell type BEFORE the min, so the boundary
+    # chains (GO + len*GE) can inject wrapped values into interior cells
+    # even when no interior value approaches the cell range.
+    bad_wrap = ((go + jnp.maximum(plens, tlens) * ge + margin) > cmax) \
+        | (ms + margin > cmax)
     flag = (multi_alias | bad_band | bad_sentinel | bad_alias | overflow
-            | (plens > tlens + C) | (tlens > plens + C) | (score < 0))
+            | bad_wrap | (plens > tlens + C) | (tlens > plens + C)
+            | (score < 0))
 
     # ======================= on-device traceback =======================
     rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
