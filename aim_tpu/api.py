@@ -205,29 +205,38 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
         fwd_kw["packed"] = packed
 
-    t0 = time.perf_counter()
-    uploads = []
-    for lo in starts:
-        chunk = slice(lo, min(lo + bs, n))
-        cp, ct, cpl, ctl = _pad_batch(
-            [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]], bs)
-        uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
-    jax.block_until_ready(uploads)
-    res.t_load += time.perf_counter() - t0
+    # Rolling waves bound host+device memory on very large runs while
+    # keeping the per-wave upload-all -> execute-each -> pull-once shape.
+    WAVE = 8
+    hosts = []
+    for w0 in range(0, len(starts), WAVE):
+        wave = starts[w0:w0 + WAVE]
+        t0 = time.perf_counter()
+        uploads = []
+        for lo in wave:
+            chunk = slice(lo, min(lo + bs, n))
+            cp, ct, cpl, ctl = _pad_batch(
+                [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]],
+                bs)
+            uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
+        jax.block_until_ready(uploads)
+        res.t_load += time.perf_counter() - t0
 
-    outs = []
-    for (dp, dt, dpl, dtl) in uploads:
-        t1 = time.perf_counter()
-        out = fwd(dp, dt, dpl, dtl, cfg=cfg, **fwd_kw)
-        jax.block_until_ready(out)
-        res.t_kernel += time.perf_counter() - t1
-        outs.append(out)
+        outs = []
+        for (dp, dt, dpl, dtl) in uploads:
+            t1 = time.perf_counter()
+            out = fwd(dp, dt, dpl, dtl, cfg=cfg, **fwd_kw)
+            jax.block_until_ready(out)
+            res.t_kernel += time.perf_counter() - t1
+            outs.append(out)
+        del uploads
 
-    t2 = time.perf_counter()
-    flat, tree = jax.tree.flatten(outs)
-    host_flat = jax.device_get(flat)
-    hosts = jax.tree.unflatten(tree, host_flat)
-    res.t_retrieve += time.perf_counter() - t2
+        t2 = time.perf_counter()
+        flat, tree = jax.tree.flatten(outs)
+        host_flat = jax.device_get(flat)
+        hosts.extend(jax.tree.unflatten(tree, host_flat))
+        res.t_retrieve += time.perf_counter() - t2
+        del outs
 
     for lo, out in zip(starts, hosts):
         hi = min(lo + bs, n)

@@ -13,8 +13,8 @@ walker): bits0..1 M-choice (0 enter-D, 1 enter-I, 2 'M', 3 'X'; priority
 D -> I -> match -> mismatch, ref swg.c:79-98), bit2 D-opened, bit3
 I-opened.  They stay in VMEM and are walked ON DEVICE by a descending row
 sweep: the I layer crosses one row per sweep step; D runs resolve within
-a row (an inner while_loop handles M->D->M chains); M-run merging keeps
-the packed record small.
+a row (a small score-bounded unroll handles M->D->M chains); M-run
+merging keeps the packed record small.
 
 Banding exactness (flagged to the host oracle otherwise):
   * excursion d beyond the [min(0,kend), max(0,kend)] corridor costs
