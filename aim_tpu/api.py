@@ -71,7 +71,13 @@ def _ensure_eager_dispatch():
 def _forward_fn(cfg: AlignConfig, device_sharding=None):
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # The Pallas kernels are TPU-only (Mosaic); any other platform
+        # (CPU meshes, GPU installs) takes the XLA tier.
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
         try:
             from aim_tpu.ops import pallas_kernels
@@ -144,12 +150,17 @@ def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
                             backtrace=cfg.backtrace, threads=0)
 
 
-def _memory_batch_cap(cfg: AlignConfig, budget_bytes=2 << 30) -> int:
+def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
+                      budget_bytes=2 << 30) -> int:
     """Cap the device batch by per-pair state footprint — the HBM-tier
     analogue of the reference launchers' MRAM-fit shrink loops
-    (ref: run-nw-pim-mram.py:87-96)."""
+    (ref: run-nw-pim-mram.py:87-96).  The Pallas tier keeps alignment
+    state in per-tile VMEM scratch, so its HBM footprint is just the
+    packed sequences and the runs record."""
     R = cfg.read_size
-    if cfg.algo == ALGO_WFA:
+    if pallas_active:
+        per = 4 * R + 512
+    elif cfg.algo == ALGO_WFA:
         K = 2 * cfg.max_score + 1
         per = (cfg.max_score + 2) * K * 3 * 2 + K * (R + 2) * 2 + 4 * R
     else:
@@ -180,7 +191,8 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     # have zero lengths and finish immediately.
     ndev = getattr(device_sharding, "num_devices", None) or 1
     align_to = max(8, 8 * ndev)
-    bs = min(cfg.batch_pairs, _memory_batch_cap(cfg),
+    bs = min(cfg.batch_pairs,
+             _memory_batch_cap(cfg, getattr(fwd, "supports_packed", False)),
              -(-n // align_to) * align_to)
     bs = max(-(-bs // align_to) * align_to, align_to)
     def put(a):
@@ -244,12 +256,14 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         csize = hi - lo
         host = {k: np.ascontiguousarray(v)[:csize] for k, v in out.items()}
         if "packed_runs" in host:
-            lane0 = host["packed_runs"][:, 0].astype(np.int32)
             if cfg.algo == ALGO_WFA:
                 # WFA record: lane 0 = cursor | score << 8 (no flags —
                 # the WFA kernel has no fallback conditions).
-                host["scores"] = (lane0 >> 8) & 0xFF
+                from aim_tpu.ops.wfa_pallas import unpack_scores
+                host["scores"] = np.asarray(
+                    unpack_scores(host["packed_runs"]))
             else:
+                lane0 = host["packed_runs"][:, 0].astype(np.int32)
                 # NW/SWG record: lane 0 = cursor | flags << 8 (bit 0 =
                 # needs_fallback), lane 1 = score.
                 host["scores"] = host["packed_runs"][:, 1].astype(np.int32)

@@ -1,0 +1,85 @@
+"""Shared machinery for the banded Pallas kernels (NW, SWG).
+
+Both kernels lay the DP band out as lane b = v - h + C over [P, 128]
+arrays and share: the min-plus prefix scan that linearizes the in-row
+deletion chain (ref: NW/DPU-WRAM/dpu/nw.c:139, SWG/DPU-WRAM/dpu/swg.c:
+151-153), the +-1 lane shifts, and the merge-emit that appends run-length
+CIGAR records right-to-left (merging with the previous record keeps
+M-runs spanning many rows as one entry).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def log_shifts(width: int):
+    """Powers of two below width (prefix/suffix scan step sizes)."""
+    out = []
+    s = 1
+    while s < width:
+        out.append(s)
+        s *= 2
+    return out
+
+
+def band_ops(lane, B: int, slope: int, inf: int):
+    """Returns (minplus, sl1, sr1) over [P, 128] band-lane arrays.
+
+    minplus(z)[b] = min_{j<=b} (z[j] + (b-j)*slope); sl1/sr1 read lanes
+    b-1 / b+1 with a fill value at the edges.
+    """
+    ramp = lane * slope
+    shifts = log_shifts(B)
+
+    def minplus(z):
+        x = z - ramp
+        for s_ in shifts:
+            rolled = pltpu.roll(x, s_, 1)
+            x = jnp.minimum(x, jnp.where(lane >= s_, rolled, inf))
+        return x + ramp
+
+    def sl1(w, fill):
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(lane >= 1, r, fill)
+
+    def sr1(w, fill):
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(lane <= 126, r, fill)
+
+    return minplus, sl1, sr1
+
+
+def make_emit_merge(rlane, NRL: int):
+    """Run-length record appender for the packed [*, NRL] output: lanes 0
+    and 1 are the header (cursor|flags, score), runs grow right-to-left
+    in lanes [2, NRL).  Merges with the previous record when the op
+    matches; rc has NO floor — a pair pushing past lane 2 drives rc
+    below 1, which the caller turns into needs_fallback (capacity
+    exceeded)."""
+
+    def emit_merge(runs, rc, mask, op, length):
+        do = mask & (length > 0)
+        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
+                      keepdims=True)
+        top_op = top >> 12
+        top_len = top & 0xFFF
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        runs = jnp.where((rlane == rc + 1) & can,
+                         (op << 12) | (top_len + length), runs)
+        push = do & ~can
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc
+
+    return emit_merge

@@ -25,10 +25,10 @@ the in-row deletion chain is a min-plus prefix scan along lanes (same
 linearization as ops/common.min_plus_scan, ref: nw.c:139).
 
 Reference semantics preserved (as in ops/nw_xla.py):
-  * flat-tape aliasing: plen == tlen+1 pairs get the h==1 column-0 cell
-    GAP_I (ref row-init overwrite, nw.c:124-130); deeper chain reads are
-    out-of-band large values that provably cannot be walked under the
-    conditions above (small-plen aliased pairs are flagged instead).
+  * flat-tape aliasing: for plen == tlen+1 pairs the column-0 chain
+    cell(h-1, plen) bootstraps from the aliased boundary slot and equals
+    the CLEAN h*GAP_I by induction (see the col0 comment; pairs whose
+    chain induction could break in the influence region are flagged).
   * traceback priority D -> I -> diag, 'X' iff equality with diag +
     MISMATCH (ref: nw.c:76-94); trailing I/D tails (nw.c:100-106).
   * int16 cells (NW_W16): pairs whose live in-band cells exceed int16 are
@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
+from aim_tpu.ops.band import band_ops, log_shifts, make_emit_merge, round_up
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -56,10 +57,6 @@ OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 C_D, C_I, C_M, C_X = 0, 1, 2, 3
 
 FLAG_FALLBACK = 1
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def band_half(cfg: AlignConfig) -> int:
@@ -74,7 +71,7 @@ def runs_lanes_nw(cfg: AlignConfig) -> int:
     [2, NRL).  With merge-emit, run count <= op alternations + tails
     <= 2*MAX_SCORE + 4 for unflagged pairs (each alternation needs >= 1
     unit of score); flagged pairs go to the fallback anyway."""
-    return min(128, _round_up(2 * cfg.max_score + 8, 8))
+    return min(128, round_up(2 * cfg.max_score + 8, 8))
 
 
 def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
@@ -103,35 +100,14 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
                      gi, row0)
 
-    # min-plus scan constants
-    ramp = lane * gd
-    log_shifts = []
-    sh = 1
-    while sh < B:
-        log_shifts.append(sh)
-        sh *= 2
-
-    def minplus(z):
-        xzr = z - ramp
-        for s_ in log_shifts:
-            rolled = pltpu.roll(xzr, s_, 1)
-            xzr = jnp.minimum(xzr, jnp.where(lane >= s_, rolled, INF))
-        return xzr + ramp
-
-    def sl1(w, fill):   # value at lane b-1
-        r = pltpu.roll(w, 1, 1)
-        return jnp.where(lane >= 1, r, fill)
-
-    def sr1(w, fill):   # value at lane b+1
-        r = pltpu.roll(w, 127, 1)
-        return jnp.where(lane <= 126, r, fill)
+    minplus, sl1, sr1 = band_ops(lane, B, gd, INF)
 
     # pattern window carried across rows: patw[b] at row h = pattern[v-1]
     # with v = h + b - C, i.e. lane b holds pattern[h + b - C - 1]; the
     # window slides by rolling the (full, cyclic) pattern array LEFT one
     # lane per row and comparing its first 128 lanes.
     # Initial (h=1): lane b -> pattern index b - C (OOB masked later).
-    Rpw = max(128, _round_up(Rp, 128))
+    Rpw = max(128, round_up(Rp, 128))
     patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
                                constant_values=-1), C, 1)
 
@@ -218,27 +194,7 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # ======================= on-device traceback =======================
     rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
 
-    def emit_merge(runs, rc, mask, op, length):
-        """Append a run right-to-left, merging with the previous record
-        when the op matches (keeps M-runs that span many rows as one
-        record).  Floor rc at 1 (lanes 0..1 are header) — a pair that
-        would underflow gets flagged by capacity analysis upstream."""
-        do = mask & (length > 0)
-        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
-                      keepdims=True)
-        top_op = top >> 12
-        top_len = top & 0xFFF
-        can = do & (top_len > 0) & (top_op == op) \
-            & (top_len + length <= 4095) & (rc < NRL - 1)
-        runs = jnp.where((rlane == rc + 1) & can,
-                         (op << 12) | (top_len + length), runs)
-        push = do & ~can
-        val = (op << 12) | jnp.minimum(length, 4095)
-        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
-        # no floor: a pair pushing past lane 2 drives rc below 1, which the
-        # caller turns into needs_fallback (capacity exceeded).
-        rc = jnp.where(push, rc - 1, rc)
-        return runs, rc
+    emit_merge = make_emit_merge(rlane, NRL)
 
     if cfg.backtrace:
         hcur = tlens
@@ -255,7 +211,7 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             # pm[lane] = last lane' <= lane with code != D.
             nd = jnp.where(cr != C_D, lane, -1)
             pm = nd
-            for s_ in log_shifts + [64]:
+            for s_ in log_shifts(B) + [64]:
                 rolled = pltpu.roll(pm, s_, 1)
                 pm = jnp.maximum(pm, jnp.where(lane >= s_, rolled, -1))
             b = vcur - h + C
@@ -310,7 +266,7 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     R = cfg.read_size
     n = pats.shape[0]
     C = band_half(cfg)
-    Rp = _round_up(R + 2, 8)
+    Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
 
@@ -321,7 +277,7 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
     n_orig = n
     if n % P:
-        padn = _round_up(n, P) - n
+        padn = round_up(n, P) - n
         pats = jnp.pad(pats, ((0, padn), (0, 0)))
         txts = jnp.pad(txts, ((0, padn), (0, 0)))
         plens = jnp.pad(plens, (0, padn))

@@ -43,7 +43,10 @@ def forward_fn(cfg: AlignConfig):
         from aim_tpu.ops.swg_pallas import swg_forward_pallas, vmem_fit_swg
 
         int8_ok = cfg.cell_width != 1 or wram_feasible(cfg)
-        if vmem_fit_swg(cfg) and int8_ok:
+        # Negative match costs void the band-exactness cost argument
+        # (excursions can be funded by negative-cost matches, invisible
+        # to any per-pair flag) — the full-width XLA tier is exact there.
+        if vmem_fit_swg(cfg) and int8_ok and cfg.match >= 0:
             def fn(*args, **kw):
                 return swg_forward_pallas(*args, **kw)
 

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
+from aim_tpu.ops.band import band_ops, log_shifts, make_emit_merge, round_up
 from aim_tpu.ops.nw_pallas import band_half, runs_lanes_nw
 
 I32 = jnp.int32
@@ -60,10 +61,6 @@ INF = 2 ** 20
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 CH_D, CH_I, CH_M, CH_X = 0, 1, 2, 3
 L_M, L_I, L_D = 0, 1, 2
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
@@ -102,29 +99,9 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     i0 = jnp.where(r0_valid, i0, INF)
     m0 = jnp.where(r0_valid, m0, INF)
 
-    ramp = lane * ge
-    log_shifts = []
-    sh = 1
-    while sh < B:
-        log_shifts.append(sh)
-        sh *= 2
+    minplus, sl1, sr1 = band_ops(lane, B, ge, INF)
 
-    def minplus(z):
-        xzr = z - ramp
-        for s_ in log_shifts:
-            rolled = pltpu.roll(xzr, s_, 1)
-            xzr = jnp.minimum(xzr, jnp.where(lane >= s_, rolled, INF))
-        return xzr + ramp
-
-    def sl1(w, fill):
-        r = pltpu.roll(w, 1, 1)
-        return jnp.where(lane >= 1, r, fill)
-
-    def sr1(w, fill):
-        r = pltpu.roll(w, 127, 1)
-        return jnp.where(lane <= 126, r, fill)
-
-    Rpw = max(128, _round_up(Rp, 128))
+    Rpw = max(128, round_up(Rp, 128))
     patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
                                constant_values=-1), C, 1)
 
@@ -241,21 +218,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # ======================= on-device traceback =======================
     rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
 
-    def emit_merge(runs, rc, mask, op, length):
-        do = mask & (length > 0)
-        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
-                      keepdims=True)
-        top_op = top >> 12
-        top_len = top & 0xFFF
-        can = do & (top_len > 0) & (top_op == op) \
-            & (top_len + length <= 4095) & (rc < NRL - 1)
-        runs = jnp.where((rlane == rc + 1) & can,
-                         (op << 12) | (top_len + length), runs)
-        push = do & ~can
-        val = (op << 12) | jnp.minimum(length, 4095)
-        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
-        rc = jnp.where(push, rc - 1, rc)
-        return runs, rc
+    emit_merge = make_emit_merge(rlane, NRL)
 
     if cfg.backtrace:
         hcur = tlens
@@ -279,7 +242,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             # prefix: last lane' <= lane with d_open == 1 (D-runs stop
             # AT the first opened D, inclusive).
             pmd = jnp.where(dopen == 1, lane, -1)
-            for s_ in log_shifts + [64]:
+            for s_ in log_shifts(B) + [64]:
                 rolled = pltpu.roll(pmd, s_, 1)
                 pmd = jnp.maximum(pmd, jnp.where(lane >= s_, rolled, -1))
 
@@ -356,7 +319,7 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     R = cfg.read_size
     n = pats.shape[0]
     C = band_half(cfg)
-    Rp = _round_up(R + 2, 8)
+    Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
 
@@ -367,7 +330,7 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
     n_orig = n
     if n % P:
-        padn = _round_up(n, P) - n
+        padn = round_up(n, P) - n
         pats = jnp.pad(pats, ((0, padn), (0, 0)))
         txts = jnp.pad(txts, ((0, padn), (0, 0)))
         plens = jnp.pad(plens, (0, padn))

@@ -582,6 +582,10 @@ def tile_pairs(cfg: AlignConfig):
     NM plane scales with K*R)."""
     smax = cfg.max_score
     R = cfg.read_size
+    if R > 4095:
+        # Run-length records carry 12-bit lengths; a single match stroke
+        # can span up to R characters (no merging in the WFA emits).
+        return None
     K8 = _round_up(2 * smax + 1, 8)
     Rp = _round_up(R + 2, 8)
     Kp = _round_up(2 * smax + 1, 128)
