@@ -115,6 +115,23 @@ def test_swg_pallas_interpret_matches_oracle(balanced):
                 cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
 
 
+def test_wfa_pallas_packed_inputs_match_unpacked():
+    """2-bit packed uploads + in-jit unpack must be bit-identical to the
+    raw-byte path (same LUT recode for both sequences)."""
+    from aim_tpu.ops.wfa_pallas import pack_seqs, wfa_forward_pallas
+    pats, txts, pl, tl = PACKED
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=SMAX,
+                      backtrace=True, adaptive=True)
+    ref = np.asarray(wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg,
+                                        interpret=True)["packed_runs"])
+    pp, pt, ok = pack_seqs(pats, txts, pl, tl, R)
+    assert ok
+    got = np.asarray(wfa_forward_pallas(pp, pt, pl, tl, cfg=cfg,
+                                        interpret=True,
+                                        packed=True)["packed_runs"])
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_wfa_pallas_interpret_overflow_pairs():
     """Pairs exceeding MAX_SCORE must report MAX_SCORE+1 with a '1M' cigar
     (the HBM-tier reference behavior, ref: wfa.c:399-404)."""
