@@ -1,0 +1,75 @@
+"""Pair-sharded scaling harness: pairs/s at N devices over a mesh.
+
+On real multi-chip hardware this measures the BASELINE.md scaling target
+(>= 85% efficiency, pair-sharded DP).  Without one (this environment has
+a single real chip), it runs on the virtual CPU mesh
+(--xla_force_host_platform_device_count) — which validates the sharded
+code path end-to-end and reports the harness's own numbers, but virtual
+devices share one physical CPU, so the efficiency column is NOT a
+hardware scaling measurement there (it is printed with that caveat).
+
+Usage: python bench_scaling.py [n_pairs]
+       JAX_PLATFORMS=cpu JAX_PLATFORM_NAME=cpu \
+       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from aim_tpu.api import align
+    from aim_tpu.config import derive_config
+    from aim_tpu.parallel import make_mesh, pair_sharding
+    import aim_tpu.native as nat
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    cfg = derive_config("wfa", 100, 0.01, backtrace=True, adaptive=True,
+                        batch_pairs=32768, backend="auto")
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    l = 100
+    pats = np.zeros((n, cfg.read_size), np.uint8)
+    pats[:, :l] = bases[rng.integers(0, 4, (n, l))]
+    txts = pats.copy()
+    mut = rng.random((n, l)) < 0.01
+    txts[:, :l] = np.where(mut, bases[rng.integers(0, 4, (n, l))],
+                           txts[:, :l])
+    plens = np.full(n, l, np.int32)
+    tlens = np.full(n, l, np.int32)
+
+    ndev_all = len(jax.devices())
+    virtual = jax.devices()[0].platform == "cpu"
+    rows = []
+    base = None
+    counts = [c for c in (1, 2, 4, 8, 16) if c <= ndev_all]
+    for nd in counts:
+        sharding = pair_sharding(make_mesh(nd)) if nd > 1 else None
+        align(pats, txts, plens, tlens, cfg, device_sharding=sharding)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            align(pats, txts, plens, tlens, cfg, device_sharding=sharding)
+            best = min(best, time.perf_counter() - t0)
+        rate = n / best
+        base = base or rate
+        eff = rate / (base * nd)
+        rows.append({"devices": nd, "pairs_per_s": round(rate, 1),
+                     "efficiency_vs_1dev": round(eff, 3)})
+        print(f"N={nd}: {rate:.0f} pairs/s  efficiency={eff:.2f}"
+              + ("  (virtual devices — not a hardware measurement)"
+                 if virtual else ""), file=sys.stderr)
+    print(json.dumps({"metric": "pair-sharded scaling (WFA-adaptive, "
+                                "100bp e=1%, backtrace)",
+                      "virtual_devices": virtual, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
