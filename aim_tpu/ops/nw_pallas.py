@@ -150,14 +150,15 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         code = jnp.where(del_eq, C_D,
                          jnp.where(ins_eq, C_I, jnp.where(x_eq, C_X, C_M)))
         code = jnp.where(valid, code, C_M)   # non-D outside valid cells
-        # 4 rows of 2-bit codes share one byte plane (VMEM-fit for long
-        # reads); the first row landing in a byte writes it fresh.
-        q = h >> 2
-        shq = 2 * (h & 3)
-        old = bits_ref[q].astype(I32) & 0xFF
-        fresh = ((h & 3) == 0) | (h == 1)
-        newb = jnp.where(fresh, code << shq, old | (code << shq))
-        bits_ref[q] = newb.astype(jnp.int8)
+        if cfg.backtrace:  # codes only feed the traceback
+            # 4 rows of 2-bit codes share one byte plane (VMEM-fit for long
+            # reads); the first row landing in a byte writes it fresh.
+            q = h >> 2
+            shq = 2 * (h & 3)
+            old = bits_ref[q].astype(I32) & 0xFF
+            fresh = ((h & 3) == 0) | (h == 1)
+            newb = jnp.where(fresh, code << shq, old | (code << shq))
+            bits_ref[q] = newb.astype(jnp.int8)
 
         at_end = (h == tlens)
         b_end = plens - tlens + C
@@ -301,8 +302,10 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            # direction codes, 4 rows of 2-bit codes per byte
-            pltpu.VMEM((R // 4 + 1, P, 128), jnp.int8),
+            # direction codes, 4 rows of 2-bit codes per byte (a dummy
+            # single plane in score-only mode — never written)
+            pltpu.VMEM(((R // 4 + 1) if cfg.backtrace else 1, P, 128),
+                       jnp.int8),
         ],
         interpret=interpret,
     )(pats, txts, plens.astype(I32).reshape(n, 1),

@@ -162,14 +162,15 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         i_open = (i_cur == sr1(pm, INF) + go + ge).astype(I32)
         code = jnp.where(valid, choice | (d_open << 2) | (i_open << 3),
                          CH_M)
-        # 2 rows of 4-bit codes share one byte plane (VMEM-fit for long
-        # reads); the first row landing in a byte writes it fresh.
-        q = h >> 1
-        shq = 4 * (h & 1)
-        old = bits_ref[q].astype(I32) & 0xFF
-        fresh = ((h & 1) == 0) | (h == 1)
-        newb = jnp.where(fresh, code << shq, old | (code << shq))
-        bits_ref[q] = newb.astype(jnp.int8)
+        if cfg.backtrace:  # codes only feed the traceback
+            # 2 rows of 4-bit codes share one byte plane (VMEM-fit for long
+            # reads); the first row landing in a byte writes it fresh.
+            q = h >> 1
+            shq = 4 * (h & 1)
+            old = bits_ref[q].astype(I32) & 0xFF
+            fresh = ((h & 1) == 0) | (h == 1)
+            newb = jnp.where(fresh, code << shq, old | (code << shq))
+            bits_ref[q] = newb.astype(jnp.int8)
 
         at_end = (h == tlens)
         b_end = plens - tlens + C
@@ -354,8 +355,10 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            # direction codes, 2 rows of 4-bit codes per byte
-            pltpu.VMEM((R // 2 + 1, P, 128), jnp.int8),
+            # direction codes, 2 rows of 4-bit codes per byte (a dummy
+            # single plane in score-only mode — never written)
+            pltpu.VMEM(((R // 2 + 1) if cfg.backtrace else 1, P, 128),
+                       jnp.int8),
         ],
         interpret=interpret,
     )(pats, txts, plens.astype(I32).reshape(n, 1),
