@@ -96,13 +96,17 @@ def main():
         t_tpu = min(t_tpu, time.perf_counter() - t0)
     tpu_pairs_s = n / t_tpu
 
-    # CPU baseline: single-thread exact oracle on a subset, extrapolated.
+    # CPU baseline: single-thread exact oracle on a subset, extrapolated
+    # (best of 3 — the shared host's CPU timings are noisy).
     m = min(2000, n)
-    t0 = time.perf_counter()
-    nat.wfa_align(pats[:m], txts[:m], plens[:m], tlens[:m],
-                  mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
-                  max_score=cfg.max_score, adaptive=True, backtrace=True)
-    t_cpu = (time.perf_counter() - t0) * (n / m)
+    t_cpu = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        nat.wfa_align(pats[:m], txts[:m], plens[:m], tlens[:m],
+                      mismatch=cfg.mismatch, gap_o=cfg.gap_o,
+                      gap_e=cfg.gap_e, max_score=cfg.max_score,
+                      adaptive=True, backtrace=True)
+        t_cpu = min(t_cpu, (time.perf_counter() - t0) * (n / m))
     cpu_pairs_s = n / t_cpu
 
     print(json.dumps({
