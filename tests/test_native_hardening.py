@@ -1,0 +1,57 @@
+"""Defensive behavior of the native record expansion and the 2-bit packer."""
+
+import numpy as np
+
+import aim_tpu.native as nat
+
+
+def test_runs_to_ops_malformed_records_stay_in_bounds():
+    """Garbage cursors / oversized runs (e.g. from a flagged pair) must
+    never write outside the pair's ops row (oracle.cpp clamps)."""
+    nrl, max_ops = 16, 64
+    runs = np.zeros((4, nrl), np.int16)
+    # pair 0: negative cursor (underflowed rc) -> start past nrl, no runs
+    runs[0, 0] = -3  # underflowed cursor, stored as-is in int16
+    # pair 1: runs summing far past max_operations
+    runs[1, 0] = 1
+    for j in range(2, nrl):
+        runs[1, j] = (3 << 12) | 4095
+    # pair 2: valid tiny record: cursor 13, runs at 14..15
+    runs[2, 0] = 13
+    runs[2, 14] = (0 << 12) | 30   # 30M
+    runs[2, 15] = (3 << 12) | 2    # 2D
+    scores = np.zeros(4, np.int32)
+    plens = np.full(4, 32, np.int32)
+    tlens = np.full(4, 32, np.int32)
+    ops, begin, end = nat.wfa_runs_to_ops(runs, scores, plens, tlens,
+                                          max_score=1 << 30, max_ops=max_ops)
+    assert ops.shape == (4, max_ops)
+    assert (begin >= 0).all() and (begin <= max_ops).all()
+    assert (end == 64).all()
+    assert ops[2, begin[2]:begin[2] + 30].tobytes() == b"M" * 30
+    assert ops[2, begin[2] + 30:begin[2] + 32].tobytes() == b"DD"
+
+
+def test_pack_seqs_fallbacks():
+    from aim_tpu.ops.wfa_pallas import pack_seqs
+    n, R = 8, 16
+    pl = np.full(n, 12, np.int32)
+    tl = np.full(n, 12, np.int32)
+    # 5-symbol alphabet -> no packing
+    pats = np.zeros((n, R), np.uint8)
+    txts = np.zeros((n, R), np.uint8)
+    pats[:, :12] = np.frombuffer(b"ACGTNACGTNAC", np.uint8)
+    txts[:, :12] = pats[:, :12]
+    _, _, ok = pack_seqs(pats, txts, pl, tl, R)
+    assert not ok
+    # interior NUL byte -> no packing (would alias the padding code)
+    pats2 = pats.copy()
+    pats2[:, :12] = np.frombuffer(b"ACGTAACGTAAC", np.uint8)
+    txts2 = pats2.copy()
+    pats2[0, 5] = 0
+    _, _, ok = pack_seqs(pats2, txts2, pl, tl, R)
+    assert not ok
+    # clean 4-symbol batch -> packed, shape [n, Rp//4]
+    pats2[0, 5] = ord("A")
+    pp, pt, ok = pack_seqs(pats2, txts2, pl, tl, R)
+    assert ok and pp.shape == (n, (R + 2 + 7) // 8 * 8 // 4)
