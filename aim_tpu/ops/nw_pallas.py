@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.band import band_ops, log_shifts, make_emit_merge, round_up
+from aim_tpu.ops.band import (band_ops, group_reduce_max, group_reduce_sum,
+                              log_shifts, round_up)
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -74,57 +75,99 @@ def runs_lanes_nw(cfg: AlignConfig) -> int:
     return min(128, round_up(2 * cfg.max_score + 8, 8))
 
 
+def group_geom(cfg: AlignConfig):
+    """Grouped-lane geometry: G pairs share each 128-lane row, each owning
+    an L-lane segment (L = smallest power of two holding both the band
+    and the runs record).  For wide bands L=128, G=1 and everything
+    degenerates to one pair per row."""
+    B = 2 * band_half(cfg) + 1
+    need = max(B, runs_lanes_nw(cfg))
+    L = 8
+    while L < need:
+        L *= 2
+    L = min(L, 128)
+    return L, 128 // L
+
+
 def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
+               L: int, G: int,
                pats_ref, txts_ref, plens_ref, tlens_ref,
                runs_ref, bits_ref):
     R = cfg.read_size
     gi, gd, x = cfg.gap_i, cfg.gap_d, cfg.mismatch
     B = 2 * C + 1
 
-    plens = plens_ref[:]                 # [P, 1] i32
-    tlens = tlens_ref[:]
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    b_iota = lane & (L - 1)              # within-group band position
+    g_iota = lane >> (L.bit_length() - 1)  # group index of each lane
+    in_band = b_iota < B
+
+    # Per-pair scalars, group-broadcast to every lane of the pair's
+    # segment: pair (g, r) lives at block rows [g*P, (g+1)*P).
+    def grouped_scalar(ref):
+        out = jnp.zeros((P, 128), I32)
+        for g in range(G):
+            seg = ref[g * P:(g + 1) * P]     # [P, 1]
+            out = jnp.where(g_iota == g, seg, out)
+        return out
+
+    plens = grouped_scalar(plens_ref)
+    tlens = grouped_scalar(tlens_ref)
     kend = plens - tlens
     aliased = plens == tlens + 1
     multi_alias = plens > tlens + 1
 
-    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)   # band lane b
-    pat32 = pats_ref[:].astype(I32)      # [P, Rp]
-    txt32 = txts_ref[:].astype(I32)
-
-    in_band = lane < B
-
     # ---- row 0: v = b - C; cell = v*gd; aliased slot v==plen (only ever
     # in-band for tiny plen — those pairs are flagged) gets GAP_I.
-    v0 = lane - C
+    v0 = b_iota - C
     row0 = jnp.where((v0 >= 0) & (v0 <= plens) & in_band, v0 * gd, INF)
     row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
                      gi, row0)
 
-    minplus, sl1, sr1 = band_ops(lane, B, gd, INF)
+    minplus, sl1, sr1 = band_ops(b_iota, B, gd, INF, L)
 
-    # pattern window carried across rows: patw[b] at row h = pattern[v-1]
-    # with v = h + b - C, i.e. lane b holds pattern[h + b - C - 1]; the
-    # window slides by rolling the (full, cyclic) pattern array LEFT one
-    # lane per row and comparing its first 128 lanes.
-    # Initial (h=1): lane b -> pattern index b - C (OOB masked later).
+    # Per-group pair-major sequence windows (one pair per row inside each
+    # window; see the layout comment in the single-group kernel).  The
+    # grouped compare row is assembled from each window's first L lanes.
     Rpw = max(128, round_up(Rp, 128))
-    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
-                               constant_values=-1), C, 1)
+
+    def windows(ref, shift):
+        ws = []
+        for g in range(G):
+            w = ref[g * P:(g + 1) * P, :].astype(I32)
+            w = jnp.pad(w, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
+            ws.append(pltpu.roll(w, shift, 1) if shift else w)
+        return ws
+
+    patws0 = windows(pats_ref, C)
+    txtws0 = windows(txts_ref, 0)
+
+    def gather_groups(ws):
+        """Grouped row: lane g*L + b <- ws[g][row, b]."""
+        out = jnp.zeros((P, 128), I32)
+        for g in range(G):
+            wb = ws[g] if Rpw == 128 else \
+                jax.lax.slice_in_dim(ws[g], 0, 128, axis=1)
+            src = pltpu.roll(wb, g * L, 1) if g else wb
+            out = jnp.where(g_iota == g, src, out)
+        return out
 
     def fwd_body(i, carry):
-        prev, patw, txtw, score, overflow = carry
+        prev, patws, txtws, score_acc, ovf_acc = carry
         h = i + 1
-        # text char of this row: lane 0 of the rolled text window
-        tch = jax.lax.slice_in_dim(txtw, 0, 1, axis=1)
-        v = lane - C + h                       # v of lane b at row h
+        patb = gather_groups(patws)
+        # text char of this row: lane 0 of each pair's rolled text window
+        tch = gather_groups([jnp.broadcast_to(
+            jax.lax.slice_in_dim(w, 0, 1, axis=1), (P, Rpw))
+            for w in txtws])
+        v = b_iota - C + h
         valid = (v >= 1) & (v <= plens) & in_band
-        patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
         sub = jnp.where(patb == tch, 0, x)
-        # prev row at same v sits at lane b+1; diag (v-1) at lane b.
+        # prev row at same v sits at band position b+1; diag (v-1) at b.
         ins = jnp.where(valid, sr1(prev, INF) + gi, INF)
         dia = jnp.where(valid, prev + sub, INF)
         indep = jnp.minimum(ins, dia)
-        # column-0 boundary: v=0 at lane b = C - h (in-band for h <= C).
+        # column-0 boundary: v=0 at b = C - h (in-band for h <= C).
         # For ALIASED pairs (plen == tlen+1) the flat-tape chain
         # cell(h-1, plen) bootstraps from the aliased h-boundary slot and
         # reproduces EXACTLY the clean h*GAP_I by induction (the
@@ -138,9 +181,8 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         cur = jnp.where(valid | ((v == 0) & in_band), cur, INF)
 
         live = valid & (h <= tlens)
-        ovf_row = jnp.any(live & (jnp.abs(cur) > INT16_MAX),
-                          axis=1, keepdims=True)
-        overflow = jnp.maximum(overflow, ovf_row.astype(I32))
+        ovf_acc = jnp.maximum(
+            ovf_acc, (live & (jnp.abs(cur) > INT16_MAX)).astype(I32))
 
         # direction codes (priority D -> I -> diag/X; nw_xla parity)
         cur_s = sl1(cur, INF)
@@ -151,8 +193,8 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                          jnp.where(ins_eq, C_I, jnp.where(x_eq, C_X, C_M)))
         code = jnp.where(valid, code, C_M)   # non-D outside valid cells
         if cfg.backtrace:  # codes only feed the traceback
-            # 4 rows of 2-bit codes share one byte plane (VMEM-fit for long
-            # reads); the first row landing in a byte writes it fresh.
+            # 4 rows of 2-bit codes share one byte plane (VMEM-fit for
+            # long reads); the first row landing in a byte writes fresh.
             q = h >> 2
             shq = 2 * (h & 3)
             old = bits_ref[q].astype(I32) & 0xFF
@@ -160,23 +202,21 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             newb = jnp.where(fresh, code << shq, old | (code << shq))
             bits_ref[q] = newb.astype(jnp.int8)
 
-        at_end = (h == tlens)
-        b_end = plens - tlens + C
-        endv = jnp.sum(jnp.where(lane == b_end, cur, 0), axis=1,
-                       keepdims=True)
-        score = jnp.where(at_end, endv, score)
+        # the end cell lands at one lane per pair; collected at the end
+        hit = (h == tlens) & (b_iota == kend + C) & in_band
+        score_acc = jnp.where(hit, cur, score_acc)
 
-        patw2 = pltpu.roll(patw, Rpw - 1, 1)  # advance the pattern window
-        txtw2 = pltpu.roll(txtw, Rpw - 1, 1)
-        return cur, patw2, txtw2, score, overflow
+        patws2 = [pltpu.roll(w, Rpw - 1, 1) for w in patws]
+        txtws2 = [pltpu.roll(w, Rpw - 1, 1) for w in txtws]
+        return cur, patws2, txtws2, score_acc, ovf_acc
 
-    prev0 = row0
-    txtw0 = jnp.pad(txt32, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
-    score0 = jnp.zeros((P, 1), I32)
-    ovf0 = jnp.zeros((P, 1), I32)
-    _, _, _, score, overflow = jax.lax.fori_loop(
-        0, R, fwd_body, (prev0, patw0, txtw0, score0, ovf0))
-    overflow = overflow > 0
+    score0 = jnp.zeros((P, 128), I32)
+    ovf0 = jnp.zeros((P, 128), I32)
+    _, _, _, score_acc, ovf_acc = jax.lax.fori_loop(
+        0, R, fwd_body, (row0, patws0, txtws0, score0, ovf0))
+    # broadcast per-pair results to every lane of the pair's segment
+    score = group_reduce_sum(score_acc, b_iota, L)
+    overflow = group_reduce_max(ovf_acc, b_iota, L) > 0
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
 
     # ---- band-exactness conditions -> needs_fallback flag ----
@@ -193,31 +233,51 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     flag = flag | (plens > tlens + C) | (tlens > plens + C)
 
     # ======================= on-device traceback =======================
-    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    # Per-pair walk state is group-broadcast (every lane of a pair's
+    # segment holds the same value); reads of the shared code row at a
+    # per-pair position are one-hot selects + a segment all-reduce.
 
-    emit_merge = make_emit_merge(rlane, NRL)
+    def seg_at(arr, pos):
+        sel = jnp.where(b_iota == pos, arr, 0)
+        return group_reduce_sum(sel, b_iota, L)
+
+    def emit_merge(runs, rc, mask, op, length):
+        do = mask & (length > 0)
+        top = seg_at(runs, rc + 1)
+        top_op = top >> 12
+        top_len = top & 0xFFF
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        runs = jnp.where((b_iota == rc + 1) & can,
+                         (op << 12) | (top_len + length), runs)
+        push = do & ~can
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((b_iota == rc) & push & (rc >= 2), val, runs)
+        # no floor: pushing past band position 2 drives rc below 1, which
+        # becomes needs_fallback (capacity exceeded).
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc
 
     if cfg.backtrace:
         hcur = tlens
         vcur = plens
         runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 1), NRL - 1, I32)
+        rc = jnp.full((P, 128), NRL - 1, I32)
 
         def bt_body(i, st):
             hcur, vcur, runs, rc = st
             h = R - i
             act = (hcur == h) & (hcur > 0) & (vcur > 0)
             cr = (bits_ref[h >> 2].astype(I32) >> (2 * (h & 3))) & 3
-            # run of consecutive D codes ending at each lane:
-            # pm[lane] = last lane' <= lane with code != D.
-            nd = jnp.where(cr != C_D, lane, -1)
+            # run of consecutive D codes ending at each band position:
+            # pm[b] = last b' <= b (same group) with code != D.
+            nd = jnp.where(cr != C_D, b_iota, -1)
             pm = nd
-            for s_ in log_shifts(B) + [64]:
+            for s_ in log_shifts(L):
                 rolled = pltpu.roll(pm, s_, 1)
-                pm = jnp.maximum(pm, jnp.where(lane >= s_, rolled, -1))
+                pm = jnp.maximum(pm, jnp.where(b_iota >= s_, rolled, -1))
             b = vcur - h + C
-            pm_b = jnp.sum(jnp.where(lane == b, pm, 0), axis=1,
-                           keepdims=True)
+            pm_b = seg_at(pm, b)
             dlen = jnp.where(act, b - pm_b, 0)
             dlen = jnp.minimum(dlen, vcur)         # never walk past v=0
             runs, rc = emit_merge(runs, rc, act, OP_D, dlen)
@@ -225,12 +285,11 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             # one row-exit step (I or diag) if still in the main loop
             act2 = act & (vcur > 0)
             b2 = vcur - h + C
-            code2 = jnp.sum(jnp.where(lane == b2, cr, 0), axis=1,
-                            keepdims=True)
+            code2 = seg_at(cr, b2)
             is_i = act2 & (code2 == C_I)
             is_m = act2 & (code2 == C_M)
             is_x = act2 & (code2 == C_X)
-            one = jnp.ones((P, 1), I32)
+            one = jnp.ones((P, 128), I32)
             op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
             runs, rc = emit_merge(runs, rc, is_i | is_m | is_x, op_sel, one)
             hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
@@ -245,11 +304,16 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         flag = flag | (rc < 1)
     else:
         runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 1), NRL - 1, I32)
+        rc = jnp.full((P, 128), NRL - 1, I32)
 
-    runs = jnp.where(rlane == 0, rc | (flag.astype(I32) << 8), runs)
-    runs = jnp.where(rlane == 1, jnp.clip(score, -32768, 32767), runs)
-    runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
+    runs = jnp.where(b_iota == 0, rc | (flag.astype(I32) << 8), runs)
+    runs = jnp.where(b_iota == 1, jnp.clip(score, -32768, 32767), runs)
+    # scatter each group's record region to its pairs' output rows
+    # (rotate in int32 — Mosaic only rotates 32-bit vectors)
+    for g in range(G):
+        seg = pltpu.roll(runs, (128 - g * L) % 128, 1) if g else runs
+        runs_ref[g * P:(g + 1) * P, :] = \
+            jax.lax.slice_in_dim(seg, 0, NRL, axis=1).astype(I16)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
@@ -270,6 +334,8 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
+    L, G = group_geom(cfg)
+    PT = P * G          # pairs per tile (G pairs share each lane row)
 
     if packed:
         shifts = jnp.arange(4, dtype=jnp.uint8) * 2
@@ -277,8 +343,8 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
 
     n_orig = n
-    if n % P:
-        padn = round_up(n, P) - n
+    if n % PT:
+        padn = round_up(n, PT) - n
         pats = jnp.pad(pats, ((0, padn), (0, 0)))
         txts = jnp.pad(txts, ((0, padn), (0, 0)))
         plens = jnp.pad(plens, (0, padn))
@@ -288,17 +354,17 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
         txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
 
-    kernel = functools.partial(_nw_kernel, cfg, P, Rp, NRL, C)
+    kernel = functools.partial(_nw_kernel, cfg, P, Rp, NRL, C, L, G)
     runs = pl.pallas_call(
         kernel,
-        grid=(n // P,),
+        grid=(n // PT,),
         in_specs=[
-            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P, NRL), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((PT, NRL), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
