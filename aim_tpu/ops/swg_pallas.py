@@ -51,8 +51,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.band import band_ops, log_shifts, make_emit_merge, round_up
-from aim_tpu.ops.nw_pallas import band_half, runs_lanes_nw
+from aim_tpu.ops.band import (band_ops, group_reduce_max, group_reduce_sum,
+                              log_shifts, round_up)
+from aim_tpu.ops.nw_pallas import band_half, group_geom, runs_lanes_nw
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -64,6 +65,7 @@ L_M, L_I, L_D = 0, 1, 2
 
 
 def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
+                L: int, G: int,
                 pats_ref, txts_ref, plens_ref, tlens_ref,
                 runs_ref, bits_ref):
     R = cfg.read_size
@@ -74,19 +76,25 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     cmax = 127 if cfg.cell_width == 1 else 32767
     margin = go + ge + max(mis, abs(mat), ge)
 
-    plens = plens_ref[:]
-    tlens = tlens_ref[:]
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    b_iota = lane & (L - 1)              # within-group band position
+    g_iota = lane >> (L.bit_length() - 1)
+    in_band = b_iota < B
+
+    def grouped_scalar(ref):
+        out = jnp.zeros((P, 128), I32)
+        for g in range(G):
+            out = jnp.where(g_iota == g, ref[g * P:(g + 1) * P], out)
+        return out
+
+    plens = grouped_scalar(plens_ref)
+    tlens = grouped_scalar(tlens_ref)
     kend = plens - tlens
     aliased = plens == tlens + 1
     multi_alias = plens > tlens + 1
 
-    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
-    pat32 = pats_ref[:].astype(I32)
-    txt32 = txts_ref[:].astype(I32)
-    in_band = lane < B
-
     # ---- row 0 triples (ref: swg.c:128-137) ----
-    v0 = lane - C
+    v0 = b_iota - C
     r0_valid = (v0 >= 0) & (v0 <= plens) & in_band
     d0 = jnp.where(v0 == 0, ms, go + v0 * ge)
     i0 = jnp.full((P, 128), ms, I32)
@@ -99,20 +107,40 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     i0 = jnp.where(r0_valid, i0, INF)
     m0 = jnp.where(r0_valid, m0, INF)
 
-    minplus, sl1, sr1 = band_ops(lane, B, ge, INF)
+    minplus, sl1, sr1 = band_ops(b_iota, B, ge, INF, L)
 
     Rpw = max(128, round_up(Rp, 128))
-    patw0 = pltpu.roll(jnp.pad(pat32, ((0, 0), (0, Rpw - Rp)),
-                               constant_values=-1), C, 1)
+
+    def windows(ref, shift):
+        ws = []
+        for g in range(G):
+            w = ref[g * P:(g + 1) * P, :].astype(I32)
+            w = jnp.pad(w, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
+            ws.append(pltpu.roll(w, shift, 1) if shift else w)
+        return ws
+
+    patws0 = windows(pats_ref, C)
+    txtws0 = windows(txts_ref, 0)
+
+    def gather_groups(ws):
+        out = jnp.zeros((P, 128), I32)
+        for g in range(G):
+            wb = ws[g] if Rpw == 128 else \
+                jax.lax.slice_in_dim(ws[g], 0, 128, axis=1)
+            src = pltpu.roll(wb, g * L, 1) if g else wb
+            out = jnp.where(g_iota == g, src, out)
+        return out
 
     def fwd_body(i, carry):
-        pm, pi, pd, patw, txtw, score, overflow = carry
+        pm, pi, pd, patws, txtws, score_acc, ovf_acc = carry
         h = i + 1
-        # text char of this row: lane 0 of the rolled text window
-        tch = jax.lax.slice_in_dim(txtw, 0, 1, axis=1)
-        v = lane - C + h
+        patb = gather_groups(patws)
+        # text char of this row: lane 0 of each pair's rolled text window
+        tch = gather_groups([jnp.broadcast_to(
+            jax.lax.slice_in_dim(w, 0, 1, axis=1), (P, Rpw))
+            for w in txtws])
+        v = b_iota - C + h
         valid = (v >= 1) & (v <= plens) & in_band
-        patb = patw if Rpw == 128 else jax.lax.slice_in_dim(patw, 0, 128, axis=1)
         sub = jnp.where(patb == tch, mat, mis)
 
         # column-0 boundary triple.  Clean: M=I=GO+h*GE, D=MS.  Aliased
@@ -148,9 +176,9 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         # Band-edge cells legitimately carry INF (no in-band path for that
         # plane); real DP values are < R*max-cost << INF//2, so only
         # values below that are genuine wrap risks.
-        ovf_row = jnp.any(live & (mx > cmax - margin) & (mx < INF // 2),
-                          axis=1, keepdims=True)
-        overflow = jnp.maximum(overflow, ovf_row.astype(I32))
+        ovf_acc = jnp.maximum(
+            ovf_acc,
+            (live & (mx > cmax - margin) & (mx < INF // 2)).astype(I32))
 
         # direction bits (ops/swg_xla.py parity)
         m_cur_s = sl1(m_cur, INF)
@@ -172,22 +200,19 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             newb = jnp.where(fresh, code << shq, old | (code << shq))
             bits_ref[q] = newb.astype(jnp.int8)
 
-        at_end = (h == tlens)
-        b_end = plens - tlens + C
-        endv = jnp.sum(jnp.where(lane == b_end, m_cur, 0), axis=1,
-                       keepdims=True)
-        score = jnp.where(at_end, endv, score)
+        hit = (h == tlens) & (b_iota == kend + C) & in_band
+        score_acc = jnp.where(hit, m_cur, score_acc)
 
-        patw2 = pltpu.roll(patw, Rpw - 1, 1)
-        txtw2 = pltpu.roll(txtw, Rpw - 1, 1)
-        return m_cur, i_cur, d_cur, patw2, txtw2, score, overflow
+        patws2 = [pltpu.roll(w, Rpw - 1, 1) for w in patws]
+        txtws2 = [pltpu.roll(w, Rpw - 1, 1) for w in txtws]
+        return m_cur, i_cur, d_cur, patws2, txtws2, score_acc, ovf_acc
 
-    txtw0 = jnp.pad(txt32, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
-    score0 = jnp.zeros((P, 1), I32)
-    ovf0 = jnp.zeros((P, 1), I32)
-    _, _, _, _, _, score, overflow = jax.lax.fori_loop(
-        0, R, fwd_body, (m0, i0, d0, patw0, txtw0, score0, ovf0))
-    overflow = overflow > 0
+    score0 = jnp.zeros((P, 128), I32)
+    ovf0 = jnp.zeros((P, 128), I32)
+    _, _, _, _, _, score_acc, ovf_acc = jax.lax.fori_loop(
+        0, R, fwd_body, (m0, i0, d0, patws0, txtws0, score0, ovf0))
+    score = group_reduce_sum(score_acc, b_iota, L)
+    overflow = group_reduce_max(ovf_acc, b_iota, L) > 0
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
 
     # ---- exactness flags ----
@@ -217,20 +242,34 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             | (score < 0))
 
     # ======================= on-device traceback =======================
-    rlane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    # Per-pair walk state is group-broadcast; reads of the shared code
+    # row at per-pair positions are one-hot selects + segment all-reduces.
 
-    emit_merge = make_emit_merge(rlane, NRL)
+    def seg_at(arr, pos):
+        sel = jnp.where(b_iota == pos, arr, 0)
+        return group_reduce_sum(sel, b_iota, L)
+
+    def emit_merge(runs, rc, mask, op, length):
+        do = mask & (length > 0)
+        top = seg_at(runs, rc + 1)
+        top_op = top >> 12
+        top_len = top & 0xFFF
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        runs = jnp.where((b_iota == rc + 1) & can,
+                         (op << 12) | (top_len + length), runs)
+        push = do & ~can
+        val = (op << 12) | jnp.minimum(length, 4095)
+        runs = jnp.where((b_iota == rc) & push & (rc >= 2), val, runs)
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc
 
     if cfg.backtrace:
         hcur = tlens
         vcur = plens
-        layer = jnp.zeros((P, 1), I32)      # start in M (ref swg.c:52)
+        layer = jnp.zeros((P, 128), I32)    # start in M (ref swg.c:52)
         runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 1), NRL - 1, I32)
-
-        def lane_at(arr, kx):
-            return jnp.sum(jnp.where(lane == kx, arr, 0), axis=1,
-                           keepdims=True)
+        rc = jnp.full((P, 128), NRL - 1, I32)
 
         def bt_body(i, st):
             hcur, vcur, layer, runs, rc, unfinished = st
@@ -240,19 +279,19 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             choice = cr & 3
             dopen = (cr >> 2) & 1
             iopen = (cr >> 3) & 1
-            # prefix: last lane' <= lane with d_open == 1 (D-runs stop
-            # AT the first opened D, inclusive).
-            pmd = jnp.where(dopen == 1, lane, -1)
-            for s_ in log_shifts(B) + [64]:
+            # prefix: last b' <= b (same group) with d_open == 1 (D-runs
+            # stop AT the first opened D, inclusive).
+            pmd = jnp.where(dopen == 1, b_iota, -1)
+            for s_ in log_shifts(L):
                 rolled = pltpu.roll(pmd, s_, 1)
-                pmd = jnp.maximum(pmd, jnp.where(lane >= s_, rolled, -1))
+                pmd = jnp.maximum(pmd, jnp.where(b_iota >= s_, rolled, -1))
 
             # I-layer arrival: one 'I' per sweep row (ref swg.c:66-72).
             in_i = act & (layer == L_I)
-            one = jnp.ones((P, 1), I32)
+            one = jnp.ones((P, 128), I32)
             runs, rc = emit_merge(runs, rc, in_i, OP_I, one)
             b_i = vcur - h + C
-            io_here = lane_at(iopen, b_i)
+            io_here = seg_at(iopen, b_i)
             layer = jnp.where(in_i & (io_here == 1), L_M, layer)
             hcur = hcur - jnp.where(in_i, 1, 0)
 
@@ -268,9 +307,9 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             for _ in range(min(4, 1 + ms // (go + ge))):
                 pend = pending
                 b = vcur - h + C
-                ch = lane_at(choice, b)
+                ch = seg_at(choice, b)
                 is_d = pend & (ch == CH_D)
-                pmd_b = lane_at(pmd, b)
+                pmd_b = seg_at(pmd, b)
                 dlen = jnp.where(is_d, b - pmd_b + 1, 0)
                 capped = is_d & (dlen >= vcur)
                 dlen = jnp.minimum(dlen, vcur)
@@ -284,7 +323,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                 op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
                 runs, rc = emit_merge(runs, rc, is_i | is_m | is_x,
                                       op_sel, one)
-                io_h = lane_at(iopen, b)
+                io_h = seg_at(iopen, b)
                 layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I),
                                   layer)
                 hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
@@ -295,18 +334,23 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
 
         hcur, vcur, layer, runs, rc, unfinished = jax.lax.fori_loop(
             0, R, bt_body,
-            (hcur, vcur, layer, runs, rc, jnp.zeros((P, 1), I32)))
+            (hcur, vcur, layer, runs, rc, jnp.zeros((P, 128), I32)))
         # tails (ref swg.c:111-117): I x h, then D x v.
         runs, rc = emit_merge(runs, rc, hcur > 0, OP_I, hcur)
         runs, rc = emit_merge(runs, rc, vcur > 0, OP_D, vcur)
         flag = flag | (rc < 1) | (unfinished > 0)
     else:
         runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 1), NRL - 1, I32)
+        rc = jnp.full((P, 128), NRL - 1, I32)
 
-    runs = jnp.where(rlane == 0, rc | (flag.astype(I32) << 8), runs)
-    runs = jnp.where(rlane == 1, jnp.clip(score, -32768, 32767), runs)
-    runs_ref[:, :] = jax.lax.slice_in_dim(runs, 0, NRL, axis=1).astype(I16)
+    runs = jnp.where(b_iota == 0, rc | (flag.astype(I32) << 8), runs)
+    runs = jnp.where(b_iota == 1, jnp.clip(score, -32768, 32767), runs)
+    # scatter each group's record region to its pairs' output rows
+    # (rotate in int32 — Mosaic only rotates 32-bit vectors)
+    for g in range(G):
+        seg = pltpu.roll(runs, (128 - g * L) % 128, 1) if g else runs
+        runs_ref[g * P:(g + 1) * P, :] = \
+            jax.lax.slice_in_dim(seg, 0, NRL, axis=1).astype(I16)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
@@ -323,6 +367,8 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
+    L, G = group_geom(cfg)
+    PT = P * G
 
     if packed:
         shifts = jnp.arange(4, dtype=jnp.uint8) * 2
@@ -330,8 +376,8 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
 
     n_orig = n
-    if n % P:
-        padn = round_up(n, P) - n
+    if n % PT:
+        padn = round_up(n, PT) - n
         pats = jnp.pad(pats, ((0, padn), (0, 0)))
         txts = jnp.pad(txts, ((0, padn), (0, 0)))
         plens = jnp.pad(plens, (0, padn))
@@ -341,17 +387,17 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
         txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
 
-    kernel = functools.partial(_swg_kernel, cfg, P, Rp, NRL, C)
+    kernel = functools.partial(_swg_kernel, cfg, P, Rp, NRL, C, L, G)
     runs = pl.pallas_call(
         kernel,
-        grid=(n // P,),
+        grid=(n // PT,),
         in_specs=[
-            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P, NRL), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((PT, NRL), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
