@@ -88,30 +88,3 @@ def group_reduce_sum(x, b_iota, L: int):
         x = x + jnp.where(b_iota >= s, fwd, wrap)
         s *= 2
     return x
-
-
-def make_emit_merge(rlane, NRL: int):
-    """Run-length record appender for the packed [*, NRL] output: lanes 0
-    and 1 are the header (cursor|flags, score), runs grow right-to-left
-    in lanes [2, NRL).  Merges with the previous record when the op
-    matches; rc has NO floor — a pair pushing past lane 2 drives rc
-    below 1, which the caller turns into needs_fallback (capacity
-    exceeded)."""
-
-    def emit_merge(runs, rc, mask, op, length):
-        do = mask & (length > 0)
-        top = jnp.sum(jnp.where(rlane == rc + 1, runs, 0), axis=1,
-                      keepdims=True)
-        top_op = top >> 12
-        top_len = top & 0xFFF
-        can = do & (top_len > 0) & (top_op == op) \
-            & (top_len + length <= 4095) & (rc < NRL - 1)
-        runs = jnp.where((rlane == rc + 1) & can,
-                         (op << 12) | (top_len + length), runs)
-        push = do & ~can
-        val = (op << 12) | jnp.minimum(length, 4095)
-        runs = jnp.where((rlane == rc) & push & (rc >= 2), val, runs)
-        rc = jnp.where(push, rc - 1, rc)
-        return runs, rc
-
-    return emit_merge
