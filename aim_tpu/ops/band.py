@@ -1,11 +1,12 @@
 """Shared machinery for the banded Pallas kernels (NW, SWG).
 
-Both kernels lay the DP band out as lane b = v - h + C over [P, 128]
-arrays and share: the min-plus prefix scan that linearizes the in-row
-deletion chain (ref: NW/DPU-WRAM/dpu/nw.c:139, SWG/DPU-WRAM/dpu/swg.c:
-151-153), the +-1 lane shifts, and the merge-emit that appends run-length
-CIGAR records right-to-left (merging with the previous record keeps
-M-runs spanning many rows as one entry).
+Both kernels lay the DP band out over 128-lane rows, G pairs per row
+(each owning an L-lane segment, L a power of two; G=1 degenerates to one
+pair per row), and share: the min-plus prefix scan that linearizes the
+in-row deletion chain (ref: NW/DPU-WRAM/dpu/nw.c:139,
+SWG/DPU-WRAM/dpu/swg.c:151-153), the +-1 band shifts, and the per-group
+all-reduces (group-cyclic roll butterflies) that implement per-pair reads
+of shared rows in the grouped layout.
 """
 
 from __future__ import annotations
