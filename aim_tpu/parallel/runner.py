@@ -58,8 +58,13 @@ def align_file_multihost(input_path: str, output_path: str, n_reads: int,
                 device_sharding=sharding)
     idx = np.arange(lo, hi, dtype=np.int32)  # global pair idx (file order)
     part = output_path + (f".part{process_id}" if n_processes > 1 else "")
-    native.emit_output(part, idx, res.scores, res.ops, res.begin, res.end,
+    # Write-then-rename so a part file only ever EXISTS complete: emit to a
+    # temp name and atomically rename (emit_output creates the file on open,
+    # so waiting on the final name alone would race a half-written part).
+    tmp = part + ".tmp"
+    native.emit_output(tmp, idx, res.scores, res.ops, res.begin, res.end,
                        cfg.backtrace)
+    os.replace(tmp, part)
     if n_processes > 1 and process_id == 0:
         _concat_parts(output_path, n_processes)
     if verbose:
@@ -70,10 +75,12 @@ def align_file_multihost(input_path: str, output_path: str, n_reads: int,
 
 
 def _concat_parts(output_path: str, n_processes: int, timeout_s=600):
+    """Ordered gather of the per-process part files.  Parts appear
+    atomically (temp-write + os.replace above), so existence == complete."""
     parts = [f"{output_path}.part{p}" for p in range(n_processes)]
     deadline = time.time() + timeout_s
     for p in parts:
-        while not os.path.exists(p + ".done") and not os.path.exists(p):
+        while not os.path.exists(p):
             if time.time() > deadline:
                 raise TimeoutError(f"missing output part {p}")
             time.sleep(0.2)

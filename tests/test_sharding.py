@@ -74,6 +74,47 @@ def test_multihost_runner_single_process(tmp_path):
     assert len(lines) == 48 and lines[0].startswith("0, ")
 
 
+def test_multihost_runner_two_processes(tmp_path):
+    """The real multi-process path (ref sharding semantics, host.c:191-268):
+    two concurrent OS processes each align a contiguous pair block and write
+    an atomic part file; process 0 performs the ordered concatenation.
+    Output must be byte-identical to a single-process run."""
+    import subprocess
+    import sys
+
+    from aim_tpu.parallel.runner import align_file_multihost
+    from tests.util import write_pair_file
+
+    pairs = random_pairs(seed=43, n=30, max_len=20)
+    inp = str(tmp_path / "pairs.txt")
+    write_pair_file(inp, pairs)
+    ref_out = str(tmp_path / "ref.txt")
+    cfg = AlignConfig(algo="wfa", read_size=32, max_score=8, backtrace=True,
+                      backend="xla")
+    align_file_multihost(inp, ref_out, 30, cfg, verbose=False)
+
+    out = str(tmp_path / "out.txt")
+    script = (
+        "import sys\n"
+        "from aim_tpu.config import AlignConfig\n"
+        "from aim_tpu.parallel.runner import align_file_multihost\n"
+        "cfg = AlignConfig(algo='wfa', read_size=32, max_score=8,\n"
+        "                  backtrace=True, backend='xla')\n"
+        "align_file_multihost(sys.argv[1], sys.argv[2], 30, cfg,\n"
+        "                     process_id=int(sys.argv[3]), n_processes=2,\n"
+        "                     verbose=False)\n")
+    procs = [subprocess.Popen([sys.executable, "-c", script, inp, out,
+                               str(p)], cwd="/root/repo")
+             for p in (0, 1)]
+    for pr in procs:
+        assert pr.wait(timeout=300) == 0
+    assert open(out, "rb").read() == open(ref_out, "rb").read()
+    # parts were consumed by the concatenation
+    import os
+    assert not os.path.exists(out + ".part0")
+    assert not os.path.exists(out + ".part1")
+
+
 def test_shard_range_covers_and_preserves_order():
     from aim_tpu.parallel.mesh import shard_range
     total = 1003
