@@ -150,13 +150,32 @@ def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
                             backtrace=cfg.backtrace, threads=0)
 
 
+def _device_memory_budget(default_bytes=2 << 30) -> int:
+    """Per-device HBM budget for alignment state: half of the device's
+    reported memory limit (leaves room for XLA temporaries, double
+    buffering, and the framework's own outputs), with a conservative
+    fallback when the runtime exposes no stats (CPU meshes report none).
+    The analogue of the reference's 64 MB MRAM capacity constant
+    (ref: common/mram-management.h:27 DPU_CAPACITY)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit and limit > 0:
+            return int(limit) // 2
+    except Exception:
+        pass
+    return default_bytes
+
+
 def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
-                      budget_bytes=2 << 30) -> int:
+                      budget_bytes=None) -> int:
     """Cap the device batch by per-pair state footprint — the HBM-tier
     analogue of the reference launchers' MRAM-fit shrink loops
     (ref: run-nw-pim-mram.py:87-96).  The Pallas tier keeps alignment
     state in per-tile VMEM scratch, so its HBM footprint is just the
     packed sequences and the runs record."""
+    if budget_bytes is None:
+        budget_bytes = _device_memory_budget()
     R = cfg.read_size
     if pallas_active:
         per = 4 * R + 512

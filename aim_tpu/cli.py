@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("-b", "--backtrace", action="store_true",
                        help="Enable backtracing")
         p.add_argument("-t", "--nr_of_tasklets", type=int, default=None,
-                       help="accepted for reference compatibility (no-op)")
+                       help="force the per-device batch down to t x 1024 "
+                            "pairs (the reference maps -t to NR_TASKLETS, "
+                            "honored only when 1 <= t <= the heuristic "
+                            "choice; ref: run-wfa-pim-mram.py:108-112)")
         p.add_argument("-d", "--nr_of_dpus", type=int, default=None,
                        help="reference compat; caps the TPU device count")
         p.add_argument("--variant", choices=["vmem", "hbm"], default="vmem",
@@ -104,6 +107,13 @@ def config_from_args(args) -> "AlignConfig":
             variant=args.variant, backend=args.backend)
     if args.batch_pairs:
         cfg = cfg.replace(batch_pairs=args.batch_pairs)
+    # -t override: the reference honors it only when it forces the
+    # heuristic DOWN (1 <= t <= chosen NR_TASKLETS, run-wfa-pim-mram.py:
+    # 106-112).  The analogue knob here is the per-device pair batch, in
+    # 1024-pair units (default 16384 = "16 tasklets").
+    t = getattr(args, "nr_of_tasklets", None)
+    if t is not None and 1 <= t <= cfg.batch_pairs // 1024:
+        cfg = cfg.replace(batch_pairs=t * 1024)
     return cfg
 
 
@@ -133,11 +143,17 @@ def main(argv=None) -> int:
     ndev = len(jax.devices())
     if args.nr_of_dpus:
         ndev = min(ndev, args.nr_of_dpus)
+    if args.number_reads <= ndev:
+        # ref: host.c:180-184 rejects total_nb_reads <= NR_DPUS
+        print("Allocated DPUs more than needed")
+        return 1
     if ndev > 1:
         from aim_tpu.parallel import make_mesh, pair_sharding
         sharding = pair_sharding(make_mesh(ndev))
         if not args.quiet:
             print(f"Allocated {ndev} device(s)")  # ref: host.c:189
+            per = ((args.number_reads // ndev) + 7) // 8 * 8
+            print(f"NumReads per device = {per}")  # ref: host.c:192
     align_file(args.input, args.output, args.number_reads, cfg,
                device_sharding=sharding, verbose=not args.quiet,
                device_log=args.device_log or None)

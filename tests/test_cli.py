@@ -76,3 +76,39 @@ def test_cli_rejects_bad_penalties(pair_file):
     with pytest.raises(SystemExit):
         main(["wfa", "-i", pair_file, "-o", "/tmp/x", "-l", "20", "-e",
               "0.05", "-n", "4", "-x", "0"])
+
+
+def test_cli_tasklet_override_shrinks_batch(pair_file):
+    """-t forces the per-device batch down (only down, like the
+    reference's NR_TASKLETS override, run-wfa-pim-mram.py:106-112)."""
+    from aim_tpu.cli import build_parser, config_from_args
+    base = ["wfa", "-i", pair_file, "-o", "/dev/null", "-l", "20",
+            "-e", "0.05", "-n", "40", "-q"]
+    default = config_from_args(build_parser().parse_args(base))
+    forced = config_from_args(build_parser().parse_args(base + ["-t", "2"]))
+    assert forced.batch_pairs == 2048 < default.batch_pairs
+    # out-of-range values are ignored, as in the reference
+    too_big = config_from_args(
+        build_parser().parse_args(base + ["-t", "999"]))
+    assert too_big.batch_pairs == default.batch_pairs
+    zero = config_from_args(build_parser().parse_args(base + ["-t", "0"]))
+    assert zero.batch_pairs == default.batch_pairs
+
+
+def test_cli_rejects_fewer_pairs_than_devices(tmp_path, pair_file, capsys):
+    """ref: host.c:180-184 exits when total reads <= NR_DPUS."""
+    out = str(tmp_path / "x.out")
+    rc = main(["wfa", "-i", pair_file, "-o", out, "-l", "20", "-e", "0.05",
+               "-n", "4", "-b", "--backend", "xla", "-q", "-d", "8"])
+    assert rc == 1
+    assert "Allocated DPUs more than needed" in capsys.readouterr().out
+
+
+def test_memory_batch_cap_scales_with_budget():
+    from aim_tpu.api import _device_memory_budget, _memory_batch_cap
+    from aim_tpu.config import AlignConfig
+    cfg = AlignConfig(algo="wfa", read_size=112, max_score=25)
+    small = _memory_batch_cap(cfg, budget_bytes=1 << 20)
+    big = _memory_batch_cap(cfg, budget_bytes=1 << 34)
+    assert big > small
+    assert _device_memory_budget() >= 1  # never zero, stats or fallback
