@@ -33,3 +33,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-dataset equality sweeps (pytest -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # slow tests run only when explicitly selected (pytest -m slow)
+    if config.getoption("-m"):
+        return
+    import pytest
+    skip = pytest.mark.skip(reason="slow: run with -m slow")
+    for it in items:
+        if "slow" in it.keywords:
+            it.add_marker(skip)

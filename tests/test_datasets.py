@@ -78,3 +78,50 @@ def test_vmem_tier_rejects_wram_infeasible():
     rc = main(["swg", "-i", "/dev/null", "-o", "/tmp/x", "-l", "500",
                "-e", "0.01", "-n", "4", "-b", "-q"])
     assert rc == -1
+
+
+ERR = "/root/reference/Datasets/ERR240727-l100-e1-30000Pairs"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(SAMPLE), reason="dataset not mounted")
+@pytest.mark.parametrize("path,n", [(SAMPLE, 40000), (ERR, 30000)])
+@pytest.mark.parametrize("algo", ["wfa", "nw", "swg"])
+def test_full_dataset_byte_identity(tmp_path, algo, path, n):
+    """The BASELINE.md full-dataset claim, reproducible in-tree: the whole
+    file-to-file pipeline on both in-repo datasets is byte-identical to
+    the oracle's emitted output, with zero fallbacks (pytest -m slow)."""
+    from aim_tpu.api import align_file
+
+    cfg = derive_config(algo, 100, 0.01, backtrace=True,
+                        adaptive=(algo == "wfa"))
+    out = str(tmp_path / f"{algo}.out")
+    res = align_file(path, out, n, cfg, verbose=False)
+    assert res.n_fallback == 0
+    pats, txts, pl, tl = nat.parse_pairs(path, n, cfg.read_size)
+    osc, oops, ob, oe = _oracle(algo, cfg, pats, txts, pl, tl)
+    ref = str(tmp_path / f"{algo}.ref")
+    nat.emit_output(ref, np.arange(len(osc), dtype=np.int32), osc, oops,
+                    ob, oe, True)
+    assert open(out, "rb").read() == open(ref, "rb").read()
+
+
+@pytest.mark.parametrize("algo", ["wfa", "nw", "swg"])
+def test_zero_fallback_on_launcher_configs(algo):
+    """The perf story depends on the fast path taking ~every pair: on
+    launcher-derived configs over dataset-like synthetic pairs the
+    needs_fallback count must be exactly 0 (not merely a majority)."""
+    cfg = derive_config(algo, 100, 0.01, backtrace=True,
+                        adaptive=(algo == "wfa"))
+    n, l = 512, 100
+    p0, t0 = _synth(n, l, 0.01, seed=7)
+    pats = np.zeros((n, cfg.read_size), np.uint8)
+    txts = np.zeros((n, cfg.read_size), np.uint8)
+    pats[:, :l] = p0
+    txts[:, :l] = t0
+    pl = np.full(n, l, np.int32)
+    tl = np.full(n, l, np.int32)
+    res = align(pats, txts, pl, tl, cfg)
+    assert res.n_fallback == 0
+    osc, *_ = _oracle(algo, cfg, pats, txts, pl, tl)
+    np.testing.assert_array_equal(res.scores, osc)
