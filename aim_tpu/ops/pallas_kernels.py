@@ -40,9 +40,11 @@ def forward_fn(cfg: AlignConfig):
 
             return fn
     if cfg.algo == ALGO_SWG:
-        from aim_tpu.ops.swg_pallas import swg_forward_pallas, vmem_fit_swg
+        from aim_tpu.ops.swg_pallas import (swg_forward_pallas, swg_int8_sound,
+                                            vmem_fit_swg)
 
-        int8_ok = cfg.cell_width != 1 or wram_feasible(cfg)
+        int8_ok = cfg.cell_width != 1 or (wram_feasible(cfg)
+                                          and swg_int8_sound(cfg))
         # Negative match costs void the band-exactness cost argument
         # (excursions can be funded by negative-cost matches, invisible
         # to any per-pair flag) — the full-width XLA tier is exact there.

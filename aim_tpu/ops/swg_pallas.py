@@ -29,16 +29,21 @@ Banding exactness (flagged to the host oracle otherwise):
     (plen == tlen+1) equals the clean boundary triple (GO+GE, GO+GE, MS),
     so only the deeper chain needs guarding: aliased pairs with
     plen <= s//GE + dmax + 2 are flagged;
-  * cell-type wrap (int8 iff MAX_SCORE < 127 in this tier): pairs whose
-    live IN-BAND values approach the cell-type range are flagged, as in
-    ops/swg_xla.py.  Residual: an int8 wrap at an out-of-band cell is
-    invisible to the banded kernel; for a wrapped (negative) value to
-    alter an in-band result it must beat every real path after paying the
-    band-return gap cost, which real data's mismatch density prevents —
-    verified exactly on the in-repo datasets (int8-tape oracle equality;
-    tests/test_cli.py) — but is not provable in general.  Conservative
-    users can select variant='hbm' (full-width tier, whose wrap flags see
-    every cell) for adversarial inputs.
+  * cell-type wrap (int8 iff MAX_SCORE < 127 in this tier): configs are
+    admitted only when swg_int8_sound() proves NO int8 accumulation can
+    leave [0, 127] anywhere in the reference tape, so wrap — in-band or
+    out-of-band — is impossible and int8 arithmetic equals exact
+    arithmetic.  Proof sketch: the MAX_SCORE init sentinel participates
+    in every boundary min (ref: swg.c:128-137), so every stored value is
+    anchored: I(h,v) <= min(M(h-1,v)+GO+GE, MS+h*GE), D symmetric,
+    M <= min(I, D), boundary rows are GO+k*GE or MS — hence stored <=
+    max(MS, GO) + R*GE, and every transient sum adds at most
+    max(GO+GE, MISMATCH) (match cost is 0 on this tier: the launcher
+    validation forces m <= 0 and the Pallas gate m >= 0).  Lower bound 0
+    since all costs are non-negative.  Configs beyond the bound keep the
+    reference's genuine wrap semantics via the full-width XLA tier, whose
+    wrap flags see every cell.  The in-band range flag below remains as a
+    belt-and-braces guard.
 """
 
 from __future__ import annotations
@@ -410,6 +415,22 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     )(pats, txts, plens.astype(I32).reshape(n, 1),
       tlens.astype(I32).reshape(n, 1))
     return {"packed_runs": runs[:n_orig]}
+
+
+def swg_int8_sound(cfg: AlignConfig) -> bool:
+    """True when no int8 accumulation can leave [0, 127] anywhere in the
+    reference's int8 tape (see the module docstring's anchoring proof):
+    every stored value is <= max(MAX_SCORE, GAP_O) + R*GAP_E and every
+    transient candidate adds at most max(GAP_O+GAP_E, MISMATCH) on top.
+    Within the bound, int8 arithmetic == exact arithmetic and the banded
+    kernel's band-exactness argument applies unchanged; beyond it, the
+    config keeps the reference's genuine wrap semantics via the
+    full-width XLA tier."""
+    if cfg.cell_width != 1:
+        return True
+    stored_max = max(cfg.max_score, cfg.gap_o) + cfg.read_size * cfg.gap_e
+    step_max = max(cfg.gap_o + cfg.gap_e, cfg.mismatch)
+    return cfg.match == 0 and stored_max + step_max <= 127
 
 
 def vmem_fit_swg(cfg: AlignConfig) -> bool:
