@@ -332,6 +332,16 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     return res
 
 
+def energy_estimate_joules(res: AlignResult) -> float:
+    """Energy-probe substitute (ref: host.c:62-67,285-296 -DENERGY uses
+    UPMEM dpu_probe counters).  This runtime exposes no power counters,
+    so the analogue is device-seconds x nominal chip power — an estimate,
+    clearly labeled as such.  Override the wattage with AIM_TPU_WATTS
+    (default 200 W nominal for a v5e-class accelerator board)."""
+    watts = float(os.environ.get("AIM_TPU_WATTS", "200"))
+    return res.t_kernel * watts
+
+
 def write_device_log(path: str, cfg: AlignConfig, res: AlignResult, n: int):
     """The dpu-out analogue (ref: host.c:355-362 harvests per-DPU logs):
     one line per device with its share of the run."""
@@ -344,12 +354,13 @@ def write_device_log(path: str, cfg: AlignConfig, res: AlignResult, n: int):
                     f"pairs={n} load_s={res.t_load:.6f} "
                     f"kernel_s={res.t_kernel:.6f} "
                     f"retrieve_s={res.t_retrieve:.6f} "
-                    f"fallback={res.n_fallback}\n")
+                    f"fallback={res.n_fallback} "
+                    f"energy_est_J={energy_estimate_joules(res):.3f}\n")
 
 
 def align_file(input_path: str, output_path: str, n_reads: int,
                cfg: AlignConfig, device_sharding=None, verbose=True,
-               device_log: str | None = None):
+               device_log: str | None = None, energy: bool = False):
     """Full file-to-file pipeline (the reference host main(), host.c:136).
 
     n_reads follows the reference CLI meaning: number of PAIRS requested;
@@ -378,6 +389,10 @@ def align_file(input_path: str, output_path: str, n_reads: int,
         total = res.t_load + res.t_kernel + res.t_retrieve
         if total > 0:
             print(f"pairs/s (device phases): {n / total:.1f}")
+        if energy:
+            # ref: host.c:285-296 prints "DPU Kernel Energy (J): ..."
+            print(f"TPU Kernel Energy (J, estimated): "
+                  f"{energy_estimate_joules(res):f}")
         if res.n_fallback:
             print(f"host-oracle fallback pairs: {res.n_fallback}")
     return res

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                        default="auto")
         p.add_argument("--batch-pairs", type=int, default=None,
                        help="pairs per device batch")
+        p.add_argument("--energy", action="store_true",
+                       help="print an estimated kernel-phase energy (J); "
+                            "the reference's -DENERGY probe analogue "
+                            "(device-seconds x AIM_TPU_WATTS nominal)")
         p.add_argument("--device-log", type=str, default="",
                        help="per-device run log path (the reference's "
                             "dpu-out file; disabled when empty)")
@@ -156,7 +160,7 @@ def main(argv=None) -> int:
             print(f"NumReads per device = {per}")  # ref: host.c:192
     align_file(args.input, args.output, args.number_reads, cfg,
                device_sharding=sharding, verbose=not args.quiet,
-               device_log=args.device_log or None)
+               device_log=args.device_log or None, energy=args.energy)
     return 0
 
 

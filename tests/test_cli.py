@@ -112,3 +112,13 @@ def test_memory_batch_cap_scales_with_budget():
     big = _memory_batch_cap(cfg, budget_bytes=1 << 34)
     assert big > small
     assert _device_memory_budget() >= 1  # never zero, stats or fallback
+
+
+def test_cli_energy_estimate(tmp_path, pair_file, capsys):
+    out = str(tmp_path / "e.out")
+    rc = main(["wfa", "-i", pair_file, "-o", out, "-l", "20", "-e", "0.05",
+               "-n", "40", "--backend", "xla", "--energy",
+               "--device-log", str(tmp_path / "dev.log")])
+    assert rc == 0
+    assert "TPU Kernel Energy (J, estimated):" in capsys.readouterr().out
+    assert "energy_est_J=" in open(tmp_path / "dev.log").read()
