@@ -92,6 +92,9 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     mesh = device_sharding.mesh
                     inner = fn
 
+                    out_key = ("step_records" if cfg.algo == ALGO_WFA
+                               else "packed_runs")
+
                     def smfn(pats, txts, plens, tlens, *, cfg, **kw):
                         def one(*args):
                             return inner(*args, cfg=cfg, **kw)
@@ -99,7 +102,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                             one, mesh=mesh,
                             in_specs=(P("pairs"), P("pairs"),
                                       P("pairs"), P("pairs")),
-                            out_specs={"packed_runs": P("pairs", None)},
+                            out_specs={out_key: P("pairs", None)},
                             check_rep=False)(pats, txts, plens, tlens)
 
                     smfn.supports_packed = True
@@ -232,7 +235,7 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     up_pats, up_txts, packed = pats, txts, False
     fwd_kw = {}
     if getattr(fwd, "supports_packed", False):
-        from aim_tpu.ops.wfa_pallas import pack_seqs
+        from aim_tpu.ops.common import pack_seqs
         up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
         fwd_kw["packed"] = packed
 
@@ -274,30 +277,30 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         chunk = slice(lo, hi)
         csize = hi - lo
         host = {k: np.ascontiguousarray(v)[:csize] for k, v in out.items()}
-        if "packed_runs" in host:
-            if cfg.algo == ALGO_WFA:
-                # WFA record: lane 0 = cursor | score << 8 (no flags —
-                # the WFA kernel has no fallback conditions).
-                from aim_tpu.ops.wfa_pallas import unpack_scores
-                host["scores"] = np.asarray(
-                    unpack_scores(host["packed_runs"]))
-            else:
-                lane0 = host["packed_runs"][:, 0].astype(np.int32)
-                # NW/SWG record: lane 0 = cursor | flags << 8 (bit 0 =
-                # needs_fallback), lane 1 = score.
-                host["scores"] = host["packed_runs"][:, 1].astype(np.int32)
-                host["needs_fallback"] = ((lane0 >> 8) & 1).astype(bool)
+        if "step_records" in host:
+            # WFA v2 record: row smax+3 = scores (no fallback conditions).
+            host["scores"] = host["step_records"][:, cfg.max_score + 3] \
+                .astype(np.int32)
+        elif "packed_runs" in host:
+            lane0 = host["packed_runs"][:, 0].astype(np.int32)
+            # NW/SWG record: lane 0 = cursor | flags << 8 (bit 0 =
+            # needs_fallback), lane 1 = score.
+            host["scores"] = host["packed_runs"][:, 1].astype(np.int32)
+            host["needs_fallback"] = ((lane0 >> 8) & 1).astype(bool)
 
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
-            if "packed_runs" in host:
-                # The Pallas kernel backtraced on device; expand its
-                # run-length records into the reference ops buffers.
-                bt_cap = cfg.max_score if cfg.algo == ALGO_WFA else (1 << 30)
+            if "step_records" in host:
+                # WFA v2: expand the per-score-level step records.
+                _, o, b, e = native.wfa_steps_to_ops(
+                    host["step_records"], plens[chunk], tlens[chunk],
+                    max_score=cfg.max_score, max_ops=max_ops)
+            elif "packed_runs" in host:
+                # NW/SWG: expand the run-length records.
                 o, b, e = native.wfa_runs_to_ops(
                     host["packed_runs"], host["scores"], plens[chunk],
-                    tlens[chunk], max_score=bt_cap, max_ops=max_ops)
+                    tlens[chunk], max_score=(1 << 30), max_ops=max_ops)
             elif cfg.algo == ALGO_WFA:
                 # Unpack the two transfer arrays into strided views (the
                 # walker takes element strides; no host copies of the hist).

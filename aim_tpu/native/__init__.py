@@ -93,6 +93,11 @@ def load():
             _i16p, ctypes.c_long, _i32p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, _chp, _i32p, _i32p,
         ]
+        lib.aim_wfa_steps_to_ops.restype = None
+        lib.aim_wfa_steps_to_ops.argtypes = [
+            _i32p, ctypes.c_long, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, _chp, _i32p, _i32p, _i32p,
+        ]
         lib.aim_pack_seqs.restype = ctypes.c_int
         lib.aim_pack_seqs.argtypes = [
             _i8p, _i8p, _i32p, _i32p, ctypes.c_long, ctypes.c_int,
@@ -333,7 +338,7 @@ def emit_output(path, idx, scores, ops, begin, end, backtrace):
 
 
 def pack_seqs(pats, txts, plens, tlens, rp):
-    """2-bit-pack a pair batch for upload (see ops/wfa_pallas.pack_seqs).
+    """2-bit-pack a pair batch for upload (see ops/ops/common.pack_seqs).
     Returns (packed_pats, packed_txts, True) or (pats, txts, False)."""
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
@@ -363,3 +368,21 @@ def wfa_runs_to_ops(runs, scores, plens, tlens, *, max_score, max_ops):
     lib.aim_wfa_runs_to_ops(runs, nrl, scores, plens, tlens, n,
                             max_score, max_ops, ops, begin, end)
     return ops, begin, end
+
+
+def wfa_steps_to_ops(records, plens, tlens, *, max_score, max_ops):
+    """Expand the v2 kernel's per-score-level step records ([n, SR] i32,
+    see ops/wfa_pallas2.py) into the reference ops buffers.  Returns
+    (scores, ops, begin, end); scores come from the record's score row."""
+    lib = load()
+    records = np.ascontiguousarray(records, np.int32)
+    n, sr = records.shape
+    plens = np.ascontiguousarray(plens, np.int32)
+    tlens = np.ascontiguousarray(tlens, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    scores = np.zeros(n, np.int32)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    lib.aim_wfa_steps_to_ops(records, sr, plens, tlens, n,
+                             max_score, max_ops, ops, scores, begin, end)
+    return scores, ops, begin, end

@@ -823,6 +823,87 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
 }
 
 // ---------------------------------------------------------------------------
+// Step-record expansion for the Pallas v2 WFA kernel (ops/wfa_pallas2.py).
+// records[i]: rows 0..max_score = per-score-level step records emitted by
+// the on-device backtrace in DESCENDING score order (gap | match stroke |
+// op per level), rows max_score+1 / max_score+2 = final strokes, row
+// max_score+3 = score.  The device walk emitted right-to-left, so the
+// left-to-right ops order is: final-I, final-D (or final-M), then levels
+// ASCENDING with each level reversed to (op, match stroke, gap) — the
+// same reconstruction the reference performs in its 2*READ_SIZE buffer
+// (ref: WFA/DPU-MRAM/dpu/wfa_backtracing.c:219-375, host.c:332-353).
+// Record encoding: bits 0..13 match-stroke len, 14..15 op (0 none,
+// 1 X, 2 I, 3 D), 16..26 trailing-gap len, 27 trailing-gap-is-D.
+// ---------------------------------------------------------------------------
+
+extern "C" void aim_wfa_steps_to_ops(const int32_t *records, long sr,
+                                     const int32_t *plens,
+                                     const int32_t *tlens, long n,
+                                     int max_score, int max_ops, char *ops,
+                                     int32_t *scores_out, int32_t *begin_off,
+                                     int32_t *end_off) {
+  static const char OPC[4] = {'M', 'X', 'I', 'D'};
+  std::vector<char> runs_op;
+  std::vector<int> runs_len;
+  for (long i = 0; i < n; ++i) {
+    char *o = ops + i * max_ops;
+    std::memset(o, 'M', (size_t)max_ops);
+    const int32_t *r = records + i * sr;
+    const int score = r[max_score + 3];
+    scores_out[i] = score;
+    const int max_operations = plens[i] + tlens[i];
+    int begin = max_operations - 1;
+    if (score <= max_score) {
+      runs_op.clear();
+      runs_len.clear();
+      int fin2 = r[max_score + 2];  // final I stroke (leftmost)
+      if (fin2 & 0x3FFF) {
+        runs_op.push_back(OPC[(fin2 >> 14) & 3]);
+        runs_len.push_back(fin2 & 0x3FFF);
+      }
+      int fin1 = r[max_score + 1];  // final D or M stroke
+      if (fin1 & 0x3FFF) {
+        runs_op.push_back(OPC[(fin1 >> 14) & 3]);
+        runs_len.push_back(fin1 & 0x3FFF);
+      }
+      for (int s = 0; s <= max_score; ++s) {
+        int rec = r[s];
+        if (!rec) continue;
+        int op = (rec >> 14) & 3;
+        if (op) {
+          runs_op.push_back(OPC[op]);
+          runs_len.push_back(1);
+        }
+        int mlen = rec & 0x3FFF;
+        if (mlen) {
+          runs_op.push_back('M');
+          runs_len.push_back(mlen);
+        }
+        int glen = (rec >> 16) & 0x7FF;
+        if (glen) {
+          runs_op.push_back((rec >> 27) & 1 ? 'D' : 'I');
+          runs_len.push_back(glen);
+        }
+      }
+      long total = 0;
+      for (int len : runs_len) total += len;
+      int pos = max_operations - (int)total;
+      if (pos < 0) pos = 0;
+      if (pos > max_ops) pos = max_ops;
+      begin = pos;
+      for (size_t j = 0; j < runs_op.size(); ++j) {
+        int len = runs_len[j];
+        if (len > max_ops - pos) len = max_ops - pos;
+        std::memset(o + pos, runs_op[j], (size_t)len);
+        pos += len;
+      }
+    }
+    begin_off[i] = begin;
+    end_off[i] = max_operations;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Output emission — byte-identical to the reference host
 // (ref: host.c:340 "%d, %d, \n" + edit_cigar_print host.c:69-89).
 // Returns bytes written, or -1 on error.

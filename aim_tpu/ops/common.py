@@ -44,6 +44,55 @@ def shift_right_lanes(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.where(pos >= 1, rolled, fill)
 
 
+def pack_seqs(pats, txts, plens, tlens, read_size: int):
+    """Host-side 2-bit packing of a [n, R] uint8 sequence pair batch.
+
+    Returns (packed_pats, packed_txts [n, Rp//4] u8, True) when the
+    COMBINED alphabet has <= 4 symbols (the DNA case — H2D bytes over this
+    relay are precious, PERFNOTES.md §2), else the inputs unchanged with
+    False.  One shared injective recode preserves alignment semantics:
+    the kernels only compare pattern bytes against text bytes for
+    equality.
+    """
+    import numpy as np
+    Rp = -(-(read_size + 2) // 8) * 8
+    try:
+        from aim_tpu import native
+        if native.available():
+            return native.pack_seqs(np.ascontiguousarray(pats, np.uint8),
+                                    np.ascontiguousarray(txts, np.uint8),
+                                    plens, tlens, Rp)
+    except Exception:
+        pass  # fall through to the numpy path
+    seen = np.zeros(256, bool)
+    seen[pats.reshape(-1)] = True
+    seen[txts.reshape(-1)] = True
+    syms = np.nonzero(seen)[0]
+    if seen[0]:
+        syms = syms[1:]  # byte 0 beyond the valid region is just padding
+    if len(syms) > 4:
+        return pats, txts, False
+    if seen[0]:
+        # Byte 0 may alias syms[0]'s code only if it never occurs INSIDE a
+        # valid region (positions < plen/tlen) — text-file parsing cannot
+        # produce interior NULs, but direct API callers could.
+        pos = np.arange(pats.shape[1])
+        if ((pats == 0) & (pos < np.asarray(plens)[:, None])).any() or \
+           ((txts == 0) & (pos < np.asarray(tlens)[:, None])).any():
+            return pats, txts, False
+    lut = np.zeros(256, np.uint8)
+    lut[syms] = np.arange(len(syms), dtype=np.uint8)
+
+    def one(arr):
+        codes = np.zeros((arr.shape[0], Rp), np.uint8)
+        codes[:, :arr.shape[1]] = lut[arr]
+        pk = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+              | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+        return np.ascontiguousarray(pk)
+
+    return one(pats), one(txts), True
+
+
 def gather_lane(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Per-row lane gather: out[n] = x[n, idx[n]] for 2-D x.
 

@@ -321,7 +321,7 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                       interpret: bool = False, packed: bool = False):
     """Banded Pallas NW forward + on-device traceback, one fused dispatch.
 
-    With packed=True, pats/txts are 2-bit packed (wfa_pallas.pack_seqs);
+    With packed=True, pats/txts are 2-bit packed (ops/common.pack_seqs);
     a 2-op XLA prologue unpacks them on device.
 
     Returns {"packed_runs": [n, NRL] i16}: lane0 = cursor | flags<<8

@@ -21,14 +21,14 @@ from aim_tpu.config import (ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig,
 
 def forward_fn(cfg: AlignConfig):
     if cfg.algo == ALGO_WFA:
-        from aim_tpu.ops.wfa_pallas import vmem_fit, wfa_forward_pallas
+        from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
 
-        # The packed runs record needs <= 128 emit lanes and an 8-bit
-        # score field (lane 0 = cursor | score << 8), and the fused
-        # kernel's scratch must fit VMEM (PERFNOTES.md §3).
-        if cfg.max_score <= 61 and vmem_fit(cfg):
+        # v2 kernel: step-record bit fields cap max_score at 1023; the
+        # fused kernel's VMEM scratch is the binding constraint
+        # (PERFNOTES.md §3) — vmem_fit2 checks both.
+        if vmem_fit2(cfg):
             def fn(*args, **kw):
-                return wfa_forward_pallas(*args, **kw)
+                return wfa_forward_pallas2(*args, **kw)
 
             return fn
     if cfg.algo == ALGO_NW:

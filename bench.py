@@ -2,12 +2,24 @@
 (100bp, e=1%, backtrace on) — the BASELINE.json north-star metric.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N, ...}
 
-vs_baseline is the speedup over the single-thread host CPU oracle measured
-on the same machine and workload, mirroring the reference's headline
-"speedup vs CPU including transfer time" framing (README.md:11-12; the repo
-publishes no absolute PIM pairs/s).
+value / vs_baseline keep the round-1 definition (end-to-end align() rate
+vs the single-thread host CPU oracle, mirroring the reference's "speedup
+vs CPU including transfer time" framing, README.md:11-12).  The extra
+keys make the perf claims auditable artifacts (VERDICT.md round-1 weak
+#4/#8):
+  marginal_us_per_pair  — honest per-pair device cost of the fused WFA
+                          kernel, from the batch-size-scaling slope
+                          between two large batches in eager mode (the
+                          only honest kernel timing on this relay,
+                          PERFNOTES.md §1);
+  marginal_pairs_s_chip — its reciprocal (pairs/s/chip compute rate);
+  cpu_1t_pairs_s / cpu_mt_pairs_s — single-thread and full-pool oracle
+                          rates on this host;
+  vs_cpu_mt_marginal    — chip compute rate vs the multi-threaded CPU,
+                          the closest analogue of the reference's
+                          "2.56x vs full-scale CPU" headline.
 
 Runtime quirks this bench routes around (measured; see PERFNOTES.md):
   * the FIRST device->host transfer seen by the TPU relay can stall
@@ -57,6 +69,46 @@ def load_pairs(read_size: int):
     return pats, txts, np.full(n, l, np.int32), np.full(n, l, np.int32)
 
 
+def marginal_us_per_pair(cfg, pats, txts, plens, tlens):
+    """Batch-size-scaling slope of the fused WFA kernel: replicate the
+    dataset to two large sizes, time the kernel dispatch alone (inputs
+    resident, block each call), slope = device cost per pair."""
+    import jax
+    from aim_tpu.ops.common import pack_seqs
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
+
+    up, ut, packed = pack_seqs(pats, txts, plens, tlens, cfg.read_size)
+    reps_small, reps_big = 8, 48  # 160k / 960k pairs
+    rp = np.tile(up, (reps_big, 1))
+    rt = np.tile(ut, (reps_big, 1))
+    rpl = np.tile(plens.astype(np.int32), reps_big)
+    rtl = np.tile(tlens.astype(np.int32), reps_big)
+    n_small = len(plens) * reps_small
+    n_big = len(plens) * reps_big
+
+    def timed(m):
+        dp = jax.device_put(rp[:m])
+        dt = jax.device_put(rt[:m])
+        dpl = jax.device_put(rpl[:m])
+        dtl = jax.device_put(rtl[:m])
+        jax.block_until_ready((dp, dt, dpl, dtl))
+        out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
+        jax.block_until_ready(out)  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg,
+                                      packed=packed)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        del dp, dt, dpl, dtl, out
+        return best
+
+    t_small = timed(n_small)
+    t_big = timed(n_big)
+    return (t_big - t_small) / (n_big - n_small) * 1e6
+
+
 def main():
     from aim_tpu.config import derive_config
     from aim_tpu.api import align
@@ -96,29 +148,47 @@ def main():
         t_tpu = min(t_tpu, time.perf_counter() - t0)
     tpu_pairs_s = n / t_tpu
 
-    # CPU baseline: single-thread exact oracle on a subset, extrapolated
-    # (best of 3 — the shared host's CPU timings are noisy).
-    m = min(2000, n)
-    t_cpu = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        nat.wfa_align(pats[:m], txts[:m], plens[:m], tlens[:m],
-                      mismatch=cfg.mismatch, gap_o=cfg.gap_o,
-                      gap_e=cfg.gap_e, max_score=cfg.max_score,
-                      adaptive=True, backtrace=True)
-        t_cpu = min(t_cpu, (time.perf_counter() - t0) * (n / m))
-    cpu_pairs_s = n / t_cpu
+    # Honest device-side marginal cost (batch-size-scaling slope).
+    try:
+        marg_us = marginal_us_per_pair(cfg, pats, txts, plens, tlens)
+    except Exception as e:  # pragma: no cover - bench must always emit
+        print(f"# marginal sweep failed: {e}", file=sys.stderr)
+        marg_us = float("nan")
+
+    # CPU baselines on a subset, extrapolated (best of 3 — the shared
+    # host's CPU timings are noisy): single-thread AND full pool, the
+    # reference's "server-grade multi-threaded CPU at full scale" framing.
+    def cpu_rate(threads, m=4000):
+        m = min(m, n)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            nat.wfa_align(pats[:m], txts[:m], plens[:m], tlens[:m],
+                          mismatch=cfg.mismatch, gap_o=cfg.gap_o,
+                          gap_e=cfg.gap_e, max_score=cfg.max_score,
+                          adaptive=True, backtrace=True, threads=threads)
+            best = min(best, time.perf_counter() - t0)
+        return m / best
+
+    cpu_1t = cpu_rate(1)
+    cpu_mt = cpu_rate(0, m=n)
+    marg_rate = 1e6 / marg_us if marg_us == marg_us and marg_us > 0 else 0
 
     print(json.dumps({
         "metric": "WFA-adaptive pairs aligned/s/chip (100bp, e=1%, backtrace)",
         "value": round(tpu_pairs_s, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(tpu_pairs_s / cpu_pairs_s, 3),
+        "vs_baseline": round(tpu_pairs_s / cpu_1t, 3),
+        "marginal_us_per_pair": round(marg_us, 4),
+        "marginal_pairs_s_chip": round(marg_rate, 1),
+        "cpu_1t_pairs_s": round(cpu_1t, 1),
+        "cpu_mt_pairs_s": round(cpu_mt, 1),
+        "vs_cpu_mt_e2e": round(tpu_pairs_s / cpu_mt, 3),
+        "vs_cpu_mt_marginal": round(marg_rate / cpu_mt, 3),
     }))
-    print(f"# n={n} tpu_s={t_tpu:.3f} cpu_oracle_pairs_s={cpu_pairs_s:.1f} "
-          f"load={res.t_load:.3f} kernel={res.t_kernel:.3f} "
-          f"retrieve={res.t_retrieve:.3f} fallback={res.n_fallback}",
-          file=sys.stderr)
+    print(f"# n={n} tpu_s={t_tpu:.3f} load={res.t_load:.3f} "
+          f"kernel={res.t_kernel:.3f} retrieve={res.t_retrieve:.3f} "
+          f"fallback={res.n_fallback}", file=sys.stderr)
 
 
 if __name__ == "__main__":

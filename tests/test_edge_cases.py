@@ -56,16 +56,21 @@ def test_swg_pallas_edge_cases():
 
 
 def test_wfa_pallas_edge_cases():
-    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
     pats, txts, pl, tl = PACKED
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=10, backtrace=True,
                       adaptive=True)
-    pk = np.asarray(wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg,
-                                       interpret=True)["packed_runs"])
-    sc = (pk[:, 0].astype(np.int32) >> 8) & 0xFF
-    oracle = nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4, gap_e=1,
-                           max_score=10, adaptive=True, backtrace=True)
-    _check_runs(pk, sc, None, oracle, 10)
+    recs = np.asarray(wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg,
+                                          interpret=True)["step_records"])
+    sc, wops, wb, we = nat.wfa_steps_to_ops(recs, pl, tl, max_score=10,
+                                            max_ops=2 * R)
+    osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
+                                      gap_o=4, gap_e=1, max_score=10,
+                                      adaptive=True, backtrace=True)
+    for i in range(len(EDGE)):
+        assert sc[i] == osc[i], (i, EDGE[i])
+        assert cigar_of(oops[i], ob[i], oe[i]) == \
+            cigar_of(wops[i], wb[i], we[i]), (i, EDGE[i])
 
 
 def test_swg_int8_soundness_gate():

@@ -18,19 +18,18 @@ PACKED = pack(PAIRS, R)
 
 @pytest.mark.parametrize("adaptive", [False, True])
 def test_wfa_pallas_interpret_matches_oracle(adaptive):
-    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
     pats, txts, pl, tl = PACKED
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=SMAX,
                       backtrace=True, adaptive=adaptive)
-    out = wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
-    packed = np.asarray(out["packed_runs"])
-    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
+    out = wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, wops, wb, we = nat.wfa_steps_to_ops(recs, pl, tl, max_score=SMAX,
+                                            max_ops=2 * R)
     osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
                                       gap_o=4, gap_e=1, max_score=SMAX,
                                       adaptive=adaptive, backtrace=True)
     np.testing.assert_array_equal(sc, osc)
-    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
-                                       max_score=SMAX, max_ops=2 * R)
     for i in range(len(PAIRS)):
         assert cigar_of(oops[i], ob[i], oe[i]) == \
             cigar_of(wops[i], wb[i], we[i]), (i, PAIRS[i])
@@ -118,31 +117,31 @@ def test_swg_pallas_interpret_matches_oracle(balanced):
 def test_wfa_pallas_packed_inputs_match_unpacked():
     """2-bit packed uploads + in-jit unpack must be bit-identical to the
     raw-byte path (same LUT recode for both sequences)."""
-    from aim_tpu.ops.wfa_pallas import pack_seqs, wfa_forward_pallas
+    from aim_tpu.ops.common import pack_seqs
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
     pats, txts, pl, tl = PACKED
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=SMAX,
                       backtrace=True, adaptive=True)
-    ref = np.asarray(wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg,
-                                        interpret=True)["packed_runs"])
+    ref = np.asarray(wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg,
+                                         interpret=True)["step_records"])
     pp, pt, ok = pack_seqs(pats, txts, pl, tl, R)
     assert ok
-    got = np.asarray(wfa_forward_pallas(pp, pt, pl, tl, cfg=cfg,
-                                        interpret=True,
-                                        packed=True)["packed_runs"])
+    got = np.asarray(wfa_forward_pallas2(pp, pt, pl, tl, cfg=cfg,
+                                         interpret=True,
+                                         packed=True)["step_records"])
     np.testing.assert_array_equal(got, ref)
 
 
 def test_wfa_pallas_interpret_overflow_pairs():
     """Pairs exceeding MAX_SCORE must report MAX_SCORE+1 with a '1M' cigar
     (the HBM-tier reference behavior, ref: wfa.c:399-404)."""
-    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
     pats, txts, pl, tl = pack([("AAAAAAAA", "TTTTTTTT")] * 8, 16)
     cfg = AlignConfig(algo="wfa", read_size=16, max_score=5, backtrace=True)
-    out = wfa_forward_pallas(pats, txts, pl, tl, cfg=cfg, interpret=True)
-    packed = np.asarray(out["packed_runs"])
-    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
+    out = wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, wops, wb, we = nat.wfa_steps_to_ops(recs, pl, tl, max_score=5,
+                                            max_ops=32)
     assert (sc == 6).all()
-    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
-                                       max_score=5, max_ops=32)
     for i in range(8):
         assert cigar_of(wops[i], wb[i], we[i]) == b"M"  # prints as "1M"

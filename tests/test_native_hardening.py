@@ -33,7 +33,7 @@ def test_runs_to_ops_malformed_records_stay_in_bounds():
 
 
 def test_pack_seqs_fallbacks():
-    from aim_tpu.ops.wfa_pallas import pack_seqs
+    from aim_tpu.ops.common import pack_seqs
     n, R = 8, 16
     pl = np.full(n, 12, np.int32)
     tl = np.full(n, 12, np.int32)

@@ -37,7 +37,7 @@ def test_shard_map_pallas_interpret_matches_oracle():
     import functools
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
-    from aim_tpu.ops.wfa_pallas import wfa_forward_pallas
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
 
     R = 24
     pairs = random_pairs(seed=37, n=128, max_len=R)
@@ -45,14 +45,14 @@ def test_shard_map_pallas_interpret_matches_oracle():
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=12, backtrace=True,
                       adaptive=True)
     mesh = make_mesh()
-    inner = functools.partial(wfa_forward_pallas, cfg=cfg, interpret=True)
+    inner = functools.partial(wfa_forward_pallas2, cfg=cfg, interpret=True)
     fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
                    in_specs=(P("pairs"),) * 4,
-                   out_specs={"packed_runs": P("pairs", None)},
+                   out_specs={"step_records": P("pairs", None)},
                    check_rep=False)
-    packed = np.asarray(fn(pats, txts, pl.astype(np.int32),
-                           tl.astype(np.int32))["packed_runs"])
-    sc = (packed[:, 0].astype(np.int32) >> 8) & 0xFF
+    recs = np.asarray(fn(pats, txts, pl.astype(np.int32),
+                         tl.astype(np.int32))["step_records"])
+    sc = recs[:, cfg.max_score + 3]
     osc, _, _, _ = nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4,
                                  gap_e=1, max_score=12, adaptive=True,
                                  backtrace=False)
