@@ -106,6 +106,8 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                             check_rep=False)(pats, txts, plens, tlens)
 
                     smfn.supports_packed = True
+                    smfn.requires_packed = getattr(fn, "requires_packed",
+                                                   False)
                     return smfn
                 fn.supports_packed = True
                 return fn
@@ -238,6 +240,12 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         from aim_tpu.ops.common import pack_seqs
         up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
         fwd_kw["packed"] = packed
+        if not packed and getattr(fwd, "requires_packed", False):
+            # >4-symbol alphabet on the long-read tier: the exact XLA
+            # tier serves it instead (rare; DNA data always packs).
+            from aim_tpu.ops.wfa_xla import wfa_forward
+            fwd = wfa_forward
+            fwd_kw = {}
 
     # Rolling waves bound host+device memory on very large runs while
     # keeping the per-wave upload-all -> execute-each -> pull-once shape.

@@ -23,13 +23,25 @@ def forward_fn(cfg: AlignConfig):
     if cfg.algo == ALGO_WFA:
         from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
 
-        # v2 kernel: step-record bit fields cap max_score at 1023; the
-        # fused kernel's VMEM scratch is the binding constraint
-        # (PERFNOTES.md §3) — vmem_fit2 checks both.
+        # Short-read kernel: all state in VMEM (the DPU-WRAM analogue);
+        # step-record bit fields cap max_score at 1023 and the fused
+        # scratch must fit VMEM (PERFNOTES.md §3) — vmem_fit2 checks both.
         if vmem_fit2(cfg):
             def fn(*args, **kw):
                 return wfa_forward_pallas2(*args, **kw)
 
+            return fn
+
+        # Long-read kernel: wavefront ring in VMEM, history spilled to
+        # HBM (the DPU-MRAM analogue); needs 2-bit-packable inputs.
+        from aim_tpu.ops.wfa_pallas_long import (long_fit,
+                                                 wfa_forward_pallas_long)
+
+        if long_fit(cfg):
+            def fn(*args, **kw):
+                return wfa_forward_pallas_long(*args, **kw)
+
+            fn.requires_packed = True
             return fn
     if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_pallas import nw_forward_pallas, vmem_fit_nw

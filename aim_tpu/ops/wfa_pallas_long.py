@@ -1,0 +1,697 @@
+"""WFA / WFA-adaptive — Pallas TPU long-read kernel (HBM-spill tier).
+
+The TPU analogue of the reference's DPU-MRAM WFA variant: alignment state
+no longer fits the scratchpad, so each completed score's wavefronts are
+serialized to big memory and the (three) predecessor scores are re-read
+per iteration (ref: WFA/DPU-MRAM/dpu/wfa.c:356-407,
+dpu_allocator_mram.c:128-347).  Here:
+
+  * wavefront rows live in a small VMEM ring (the last max(x, o+e)+1
+    scores — exactly the predecessor window) and every completed row is
+    async-DMA'd to an HBM history buffer (a pl.ANY output reused across
+    grid steps), replacing the reference's 2048-byte chunked MRAM stores;
+  * the backtrace walks score levels descending and double-buffers the
+    five history rows each level needs back from HBM, replacing the
+    reference's per-step MRAM reloads (wfa_backtracing.c:262-265);
+  * the extend stage needs no O(K*R) table at all (the round-1 blocker):
+    sequences stay resident in VMEM as 14-base 2-bit-packed words
+    (28-bit values — this runtime degrades on materialized int32 buffers
+    holding values >= ~2^29, PERFNOTES.md §1), and each probe fetches
+    the text/pattern words at per-(pair, diagonal) offsets with 128-lane
+    take-along-axis gathers decomposed over lane chunks and word blocks,
+    XORs 14-base windows, and advances by the count of leading matches;
+    a while loop continues only while some lane matched a full window.
+    Chunk/block ranges are bounded per step by the live [klo, khi] band
+    and offset window, so WFA-adaptive's reduced band keeps the gather
+    count proportional to live work.
+
+Layout: pairs in SUBLANES (P=64 rows), diagonals in LANES (Kp =
+roundup(2*smax+1, 128)) — the transpose of ops/wfa_pallas2.py, because
+the per-lane gather hardware indexes along lanes and the gather source
+(the pair's sequence words) must therefore be lane-addressed per pair
+row.  Outputs use the same step-record encoding as v2 (rows 0..smax =
+levels, +1/+2 final strokes, +3 scores; native.wfa_steps_to_ops).
+Semantics (reference quirks included) are identical to ops/wfa_pallas2.py
+and the native oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aim_tpu.config import AlignConfig
+
+I32 = jnp.int32
+I16 = jnp.int16
+F32 = jnp.float32
+U32 = jnp.uint32
+NULL = -16384
+BIG = 2 ** 20
+
+OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+WB = 14         # bases per packed word (28 bits < 2**28: relay-safe)
+MASK28 = (1 << 28) - 1
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def record_cols(smax: int) -> int:
+    return _round_up(smax + 4, 128)
+
+
+def _div_wb(x):
+    """floor(x / WB) for 0 <= x < ~2^15 via exact-enough f32 multiply
+    (the +0.5 nudge keeps the product away from integers; the f32
+    relative error ~1e-7 cannot cross the 0.5/WB gap)."""
+    q = jnp.floor((x.astype(F32) + 0.5) * (1.0 / WB)).astype(I32)
+    return q
+
+
+def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
+                     WR: int,
+                     patw_ref, txtw_ref, lens_ref,
+                     recs_ref, hist_ref,
+                     ring_ref, btb_ref, side_ref, semf, semb):
+    smax = cfg.max_score
+    R = cfg.read_size
+    x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
+    NB = Wp // 128
+    NC = Kp // 128
+
+    plens = lens_ref[:, 0:1]                # [P, 1]
+    tlens = lens_ref[:, 1:2]
+    ak = tlens - plens
+    kio = jax.lax.broadcasted_iota(I32, (P, Kp), 1)
+    kvec = kio - smax
+    lane_valid = kvec <= smax
+
+    nullk = jnp.full((P, Kp), NULL, I16)
+
+    # ---------------- per-lane word gather ----------------
+    def gword(seq_ref, widx, c_lo, c_hi, b_lo, b_hi):
+        """out[p, k] = seq[p, widx[p, k]] for widx in [0, Wp).  Decomposed
+        into 128-lane take_along_axis gathers per (k-chunk, word-block);
+        both loops are skipped outside the scalar bounds the CALLER
+        derived from the live band and offset window (hoisted: scalar
+        reductions inside this inner loop dominated the kernel).  This
+        bounds the gather count by live work — the analogue of the
+        reference's band-proportional MRAM traffic."""
+        cols = []
+        for c in range(NC):
+            idxc = widx[:, 128 * c:128 * (c + 1)]
+            bsel = idxc >> 7
+            r = idxc & 127
+
+            def one_block(b, acc):
+                g = jnp.take_along_axis(seq_ref[:, 128 * b:128 * (b + 1)],
+                                        r, axis=1)
+                return acc + jnp.where(bsel == b, g, 0)
+
+            def chunk(blk):
+                for b in range(NB):
+                    blk = jax.lax.cond(
+                        (b >= b_lo) & (b <= b_hi),
+                        functools.partial(one_block, b), lambda a: a, blk)
+                return blk
+
+            blk = jnp.zeros((P, 128), I32)
+            if NC > 1:
+                blk = jax.lax.cond((c >= c_lo) & (c <= c_hi), chunk,
+                                   lambda a: a, blk)
+            else:
+                blk = chunk(blk)
+            cols.append(blk)
+        if NC == 1:
+            return cols[0]
+        return jnp.concatenate(cols, axis=1)
+
+    def ctz28(z):
+        """Count trailing zeros of z in (0, 2^28); returns 28 for z == 0."""
+        lsb = (z & (0 - z)).astype(F32)
+        e = (jax.lax.bitcast_convert_type(lsb, I32) >> 23) - 127
+        return jnp.where(z != 0, e, 28)
+
+    def extend(m, do_ext, kl, kh):
+        """First-mismatch extension of offsets m on each live diagonal
+        (ref: wfa.c:193-215).  Probes 2*WB-base (28-base) windows;
+        continues while any lane matched a full window."""
+        # scalar k-chunk bounds from the union of live bands (per step)
+        kl_u = jnp.min(jnp.where(do_ext, jnp.broadcast_to(kl, (P, Kp)),
+                                 BIG))
+        kh_u = jnp.max(jnp.where(do_ext, jnp.broadcast_to(kh, (P, Kp)),
+                                 -BIG))
+        c_lo = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
+        c_hi = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
+
+        def probe(m, act, b_lo, b_hi):
+            v = m - kvec
+            mc = jnp.clip(m, 0, R + 1)
+            vc = jnp.clip(v, 0, R + 1)
+            qh = _div_wb(mc)
+            qv = _div_wb(vc)
+            rh = mc - qh * WB
+            rv = vc - qv * WB
+            qh1 = jnp.minimum(qh + 1, Wp - 1)
+            qv1 = jnp.minimum(qv + 1, Wp - 1)
+            qh2 = jnp.minimum(qh + 2, Wp - 1)
+            qv2 = jnp.minimum(qv + 2, Wp - 1)
+            tw0 = gword(txtw_ref, qh, c_lo, c_hi, b_lo, b_hi)
+            tw1 = gword(txtw_ref, qh1, c_lo, c_hi, b_lo, b_hi)
+            tw2 = gword(txtw_ref, qh2, c_lo, c_hi, b_lo, b_hi)
+            pw0 = gword(patw_ref, qv, c_lo, c_hi, b_lo, b_hi)
+            pw1 = gword(patw_ref, qv1, c_lo, c_hi, b_lo, b_hi)
+            pw2 = gword(patw_ref, qv2, c_lo, c_hi, b_lo, b_hi)
+            sh_h = 2 * rh
+            sh_v = 2 * rv
+
+            def fun(w0, w1, sh):
+                return ((w0 >> sh)
+                        | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
+
+            za = fun(tw0, tw1, sh_h) ^ fun(pw0, pw1, sh_v)
+            zb = fun(tw1, tw2, sh_h) ^ fun(pw1, pw2, sh_v)
+            ja = ctz28(za) >> 1
+            jb = ctz28(zb) >> 1
+            jm = jnp.where(za != 0, ja, WB + jb)
+            lim_raw = jnp.minimum(plens - v, tlens - m)
+            lim = jnp.clip(lim_raw, 0, 2 * WB)
+            j = jnp.minimum(jm, lim)
+            m2 = jnp.where(act, m + j, m)
+            cont = act & (j == 2 * WB) & (lim_raw > 2 * WB)
+            return m2, cont
+
+        # scalar word-block bounds once per step; each probe advances
+        # offsets by at most 2 words, so the upper bound is carried and
+        # incremented instead of re-reduced every iteration
+        mc0 = jnp.clip(m, 0, R + 1)
+        vc0 = jnp.clip(m - kvec, 0, R + 1)
+        q0 = _div_wb(mc0)
+        qv0 = _div_wb(vc0)
+        q_lo = jnp.min(jnp.where(do_ext, jnp.minimum(q0, qv0), BIG))
+        q_hi = jnp.max(jnp.where(do_ext, jnp.maximum(q0, qv0), -BIG)) + 2
+        b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
+        b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
+        m, cont = probe(m, do_ext, b_lo, b_hi)
+
+        def wbody(st):
+            m, cont_i, q_hi = st
+            q_hi = q_hi + 2
+            m2, c2 = probe(m, cont_i > 0, b_lo,
+                           jnp.clip(q_hi >> 7, 0, NB - 1))
+            return m2, c2.astype(I32), q_hi
+
+        m, _, _ = jax.lax.while_loop(
+            lambda st: jnp.max(st[1]) > 0, wbody,
+            (m, cont.astype(I32), q_hi))
+        return m
+
+    # ---------------- side (klo/khi/flags) ----------------
+    lio8 = jax.lax.broadcasted_iota(I32, (P, 8), 1)
+
+    def side_pack(kl, kh, fl):
+        row = jnp.where(lio8 == 0, kl, 0)
+        row = jnp.where(lio8 == 1, kh, row)
+        return jnp.where(lio8 == 2, fl, row)
+
+    def side_read(s):
+        row = side_ref[jnp.maximum(s, 0)]
+        neg = s < 0
+        kl = jnp.where(neg, 1, row[:, 0:1])
+        kh = jnp.where(neg, -1, row[:, 1:2])
+        fl = jnp.where(neg, 0, row[:, 2:3])
+        return kl, kh, fl
+
+    def sl(w):  # diagonal k-1
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(kio >= 1, r, NULL)
+
+    def sr(w):  # diagonal k+1
+        r = pltpu.roll(w, Kp - 1, 1)
+        return jnp.where(kio <= Kp - 2, r, NULL)
+
+    # ---------------- init: score 0 ----------------
+    ring_ref[0, 0] = jnp.where(kvec == 0, 0, NULL).astype(I16)
+    ring_ref[0, 1] = nullk
+    ring_ref[0, 2] = nullk
+    side_ref[0] = side_pack(jnp.zeros((P, 1), I32), jnp.zeros((P, 1), I32),
+                            jnp.full((P, 1), 1 | (1 << 2) | (1 << 3), I32))
+
+    # ---------------- forward ----------------
+    def fwd_body(state):
+        s, active_i, scores = state
+        active = active_i > 0
+        slot = jax.lax.rem(s, WR)
+        m = ring_ref[slot, 0].astype(I32)
+        kl, kh, fl = side_read(s)
+        exists = (fl & 1) == 1
+        m_null = ~exists | (((fl >> 1) & 1) == 1)
+        inr = (kl <= kvec) & (kvec <= kh)
+
+        do_ext = active & ~m_null & inr & (m >= 0) & (m < R + 2)
+        offi = jnp.where(do_ext, extend(m, do_ext, kl, kh), m)
+        ring_ref[slot, 0] = offi.astype(I16)
+        # spill score s to the HBM history (post-extend m; i/d unchanged)
+        for c in range(3):
+            cp = pltpu.make_async_copy(ring_ref.at[slot, c],
+                                       hist_ref.at[c, s], semf.at[slot, c])
+            cp.start()
+
+        if cfg.adaptive:
+            width = kh - kl + 1
+            do_red = active & ~m_null & (width >= 10)
+            v = offi - kvec
+            dist = jnp.maximum(plens - v, tlens - offi)
+            dmask = jnp.where(inr, dist, BIG)
+            mind = jnp.minimum(jnp.min(dmask, axis=1, keepdims=True),
+                               jnp.maximum(plens, tlens))
+            keep = (dist - mind) <= 50
+            top_limit = jnp.minimum(ak - 1, kh)
+            cand_lo = jnp.where((kvec >= kl) & (kvec < top_limit) & keep,
+                                kvec, BIG)
+            fk = jnp.min(cand_lo, axis=1, keepdims=True)
+            klo_new = jnp.maximum(kl, jnp.minimum(fk, top_limit))
+            bottom_limit = jnp.maximum(ak + 1, klo_new)
+            cand_hi = jnp.where((kvec <= kh) & (kvec > bottom_limit) & keep,
+                                kvec, -BIG)
+            lk = jnp.max(cand_hi, axis=1, keepdims=True)
+            khi_new = jnp.minimum(kh, jnp.maximum(lk, bottom_limit))
+            nullify = do_red & (klo_new > khi_new)
+            shrink = do_red & ~nullify
+            kl = jnp.where(shrink, klo_new, kl)
+            kh = jnp.where(shrink, khi_new, kh)
+            fl = jnp.where(nullify, fl | 0b1110, fl)
+            side_ref[s] = side_pack(kl, kh, fl)
+            m_null = m_null | nullify
+            inr = (kl <= kvec) & (kvec <= kh)
+
+        at_ak = (kvec == ak) & lane_valid
+        m_at_ak = jnp.sum(jnp.where(at_ak, offi, 0), axis=1, keepdims=True)
+        er = active & ~m_null & (kl <= ak) & (ak <= kh) & (m_at_ak >= tlens)
+        scores = jnp.where(er, s, scores)
+        active = active & ~er
+
+        # ---- compute score s+1 (ring reads within the WR window) ----
+        s2 = s + 1
+        slot2 = jax.lax.rem(s2, WR)
+        # the ring slot we are about to overwrite must have finished its
+        # spill of score s2 - WR
+        @pl.when(s2 >= WR)
+        def _():
+            for c in range(3):
+                pltpu.make_async_copy(ring_ref.at[slot2, c],
+                                      hist_ref.at[c, jnp.maximum(s2 - WR, 0)],
+                                      semf.at[slot2, c]).wait()
+
+        l_sub, h_sub, f_sub = side_read(s2 - x)
+        l_o, h_o, f_o = side_read(s2 - go - ge)
+        l_e, h_e, f_e = side_read(s2 - ge)
+        m_sub_null = ((f_sub & 1) == 0) | (((f_sub >> 1) & 1) == 1)
+        m_o_null = ((f_o & 1) == 0) | (((f_o >> 1) & 1) == 1)
+        i_e_null = ((f_e & 1) == 0) | (((f_e >> 2) & 1) == 1)
+        d_e_null = ((f_e & 1) == 0) | (((f_e >> 3) & 1) == 1)
+        i_out_null = m_o_null & i_e_null
+        d_out_null = m_o_null & d_e_null
+        allnull = m_sub_null & i_out_null & d_out_null
+
+        sub_lo = jnp.where(m_sub_null, 1, l_sub)
+        sub_hi = jnp.where(m_sub_null, -1, h_sub)
+        o_lo = jnp.where(m_o_null, 1, l_o)
+        o_hi = jnp.where(m_o_null, -1, h_o)
+        e_both = i_e_null & d_e_null
+        e_lo = jnp.where(e_both, 1, l_e)
+        e_hi = jnp.where(e_both, -1, h_e)
+        lo = jnp.minimum(jnp.minimum(sub_lo, o_lo), e_lo) - 1
+        hi_ = jnp.maximum(jnp.maximum(sub_hi, o_hi), e_hi) + 1
+
+        mw_sub = ring_ref[jax.lax.rem(jnp.maximum(s2 - x, 0), WR), 0] \
+            .astype(I32)
+        mw_o = ring_ref[jax.lax.rem(jnp.maximum(s2 - go - ge, 0), WR), 0] \
+            .astype(I32)
+        iw_e = ring_ref[jax.lax.rem(jnp.maximum(s2 - ge, 0), WR), 1] \
+            .astype(I32)
+        dw_e = ring_ref[jax.lax.rem(jnp.maximum(s2 - ge, 0), WR), 2] \
+            .astype(I32)
+
+        km1 = kvec - 1
+        kp1 = kvec + 1
+        ins_g = jnp.where(~m_o_null & (o_lo <= km1) & (km1 <= o_hi),
+                          sl(mw_o), NULL)
+        ins_i = jnp.where(~i_e_null & (e_lo <= km1) & (km1 <= e_hi),
+                          sl(iw_e), NULL)
+        both_null = (ins_g == NULL) & (ins_i == NULL)
+        ins = jnp.where(both_null, NULL, jnp.maximum(ins_g, ins_i) + 1)
+        del_g = jnp.where(~m_o_null & (o_lo <= kp1) & (kp1 <= o_hi),
+                          sr(mw_o), NULL)
+        del_d = jnp.where(~d_e_null & (e_lo <= kp1) & (kp1 <= e_hi),
+                          sr(dw_e), NULL)
+        dl = jnp.maximum(del_g, del_d)
+        sub = jnp.where((sub_lo <= kvec) & (kvec <= sub_hi),
+                        mw_sub + 1, NULL)
+        ins_m = jnp.where(i_out_null, -10, ins)
+        del_m = jnp.where(d_out_null, -10, dl)
+        sub_m = jnp.where(m_sub_null, -10, sub)
+        m_new = jnp.maximum(del_m, jnp.maximum(sub_m, ins_m))
+
+        inr_new = (lo <= kvec) & (kvec <= hi_)
+        write = ~allnull & inr_new
+        ring_ref[slot2, 0] = jnp.where(write, m_new, NULL).astype(I16)
+        ring_ref[slot2, 1] = jnp.where(write & ~i_out_null, ins,
+                                       NULL).astype(I16)
+        ring_ref[slot2, 2] = jnp.where(write & ~d_out_null, dl,
+                                       NULL).astype(I16)
+        newf = jnp.where(allnull, 0,
+                         1 | (i_out_null.astype(I32) << 2)
+                         | (d_out_null.astype(I32) << 3))
+        side_ref[s2] = side_pack(jnp.where(allnull, 1, lo),
+                                 jnp.where(allnull, -1, hi_), newf)
+        return s2, active.astype(I32), scores
+
+    def fwd_cond(state):
+        s, active_i, _ = state
+        return (s <= smax) & (jnp.max(active_i) > 0)
+
+    s_end, active_i, scores = jax.lax.while_loop(
+        fwd_cond, fwd_body,
+        (jnp.int32(0), jnp.ones((P, 1), I32), jnp.zeros((P, 1), I32)))
+    scores = jnp.where(active_i > 0, smax + 1, scores)
+    # Drain outstanding spills before the backtrace reads the history.
+    # Spills were issued for scores 0..s_end-1; the loop body already
+    # waited scores <= s_end-WR, so the unwaited ones are the (at most
+    # WR-1) scores in [max(0, s_end+1-WR), s_end-1].
+    for d in range(WR - 1):
+        sd = s_end - 1 - d
+
+        @pl.when((sd >= 0) & (sd >= s_end + 1 - WR))
+        def _(sd=sd):
+            slot_d = jax.lax.rem(sd, WR)
+            for c in range(3):
+                pltpu.make_async_copy(
+                    ring_ref.at[0, c], hist_ref.at[c, 0],
+                    semf.at[slot_d, c]).wait()
+
+    # ---------------- step records ----------------
+    cio = jax.lax.broadcasted_iota(I32, (P, SRp), 1)
+    recs = jnp.zeros((P, SRp), I32)
+    recs = jnp.where(cio == smax + 3, scores, recs)
+
+    if not cfg.backtrace:
+        recs_ref[:, :] = recs
+        return
+
+    # ---------------- backtrace over score levels ----------------
+    bt_ok = scores <= smax
+    lvl0 = jnp.max(jnp.where(bt_ok, scores, 0))
+
+    def prefetch(lvl, buf):
+        rows = (jnp.maximum(lvl, 0),                 # hm[s] (pair starts)
+                jnp.maximum(lvl - go - ge, 0),       # hm[s-o-e]
+                jnp.maximum(lvl - x, 0))             # hm[s-x]
+        for j, r in enumerate(rows):
+            pltpu.make_async_copy(hist_ref.at[0, r], btb_ref.at[buf, j],
+                                  semb.at[buf, j]).start()
+        pltpu.make_async_copy(hist_ref.at[1, jnp.maximum(lvl - ge, 0)],
+                              btb_ref.at[buf, 3], semb.at[buf, 3]).start()
+        pltpu.make_async_copy(hist_ref.at[2, jnp.maximum(lvl - ge, 0)],
+                              btb_ref.at[buf, 4], semb.at[buf, 4]).start()
+
+    def wait_buf(buf):
+        for j in range(5):
+            pltpu.make_async_copy(btb_ref.at[buf, j], btb_ref.at[buf, j],
+                                  semb.at[buf, j]).wait()
+
+    prefetch(lvl0, 0)
+
+    def bt_body(i, st):
+        score, k, offset, btype, valid_i, started_i, recs = st
+        s = lvl0 - i
+        buf = jax.lax.rem(i, 2)
+        wait_buf(buf)
+
+        @pl.when(i + 1 <= lvl0)
+        def _():
+            prefetch(s - 1, jax.lax.rem(i + 1, 2))
+
+        hm_s = btb_ref[buf, 0].astype(I32)
+        mo = btb_ref[buf, 1].astype(I32)
+        mx = btb_ref[buf, 2].astype(I32)
+        ie = btb_ref[buf, 3].astype(I32)
+        de = btb_ref[buf, 4].astype(I32)
+        kl_o, kh_o, fl_o = side_read(s - go - ge)
+        kl_e, kh_e, fl_e = side_read(s - ge)
+        kl_x, kh_x, fl_x = side_read(s - x)
+
+        start = bt_ok & (scores == s) & ~(started_i > 0)
+        off0 = jnp.sum(jnp.where((kio == ak + smax) & lane_valid & start,
+                                 hm_s, 0), axis=1, keepdims=True)
+        offset = jnp.where(start, off0, offset)
+        k = jnp.where(start, ak, k)
+        btype = jnp.where(start, 0, btype)
+        started = (started_i > 0) | start
+        v = offset - k
+        h = offset
+        valid0 = (v > 0) & (v <= plens) & (h > 0) & (h <= tlens)
+        valid = jnp.where(start, valid0.astype(I32), valid_i) > 0
+
+        act = started & (score == s) & (s > 0)
+        pre = act & (v > 0) & (h > 0)
+
+        now_valid = (v > 0) & (v <= plens) & (h > 0) & (h <= tlens)
+        newly = pre & ~valid & now_valid
+        gap_len = jnp.where(newly & (k != ak), jnp.abs(ak - k), 0)
+        gap_d = (newly & (k > ak)).astype(I32)
+        valid = valid | newly
+
+        cm1 = kio == (k - 1 + smax)
+        cp0 = kio == (k + smax)
+        cp1 = kio == (k + 1 + smax)
+
+        def gat(plane, cols):
+            return jnp.sum(jnp.where(cols, plane, 0), axis=1, keepdims=True)
+
+        def ok(kl, kh, fl, kx, sx):
+            return (sx >= 0) & ((fl & 1) == 1) & (kl <= kx) & (kx <= kh)
+
+        def ok_bit(kl, kh, fl, kx, sx, bit):
+            return ok(kl, kh, fl, kx, sx) & (((fl >> bit) & 1) == 0)
+
+        s_o = s - go - ge
+        s_e = s - ge
+        s_x = s - x
+        not_i = btype != 1
+        not_d = btype != 2
+        is_m = btype == 0
+        del_ext = jnp.where(pre & not_i
+                            & ok_bit(kl_e, kh_e, fl_e, k + 1, s_e, 3),
+                            gat(de, cp1), NULL)
+        del_open = jnp.where(pre & not_i & ok(kl_o, kh_o, fl_o, k + 1, s_o),
+                             gat(mo, cp1), NULL)
+        ins_ext = jnp.where(pre & not_d
+                            & ok_bit(kl_e, kh_e, fl_e, k - 1, s_e, 2),
+                            gat(ie, cm1) + 1, NULL)
+        ins_open = jnp.where(pre & not_d & ok(kl_o, kh_o, fl_o, k - 1, s_o),
+                             gat(mo, cm1) + 1, NULL)
+        misms = jnp.where(pre & is_m & ok(kl_x, kh_x, fl_x, k, s_x),
+                          gat(mx, cp0) + 1, NULL)
+        max_all = jnp.maximum(misms, jnp.maximum(
+            jnp.maximum(ins_ext, ins_open), jnp.maximum(del_ext, del_open)))
+
+        mstroke = pre & is_m
+        nmatch = jnp.where(mstroke, jnp.maximum(offset - max_all, 0), 0)
+        offset = jnp.where(mstroke, max_all, offset)
+        v2 = offset - k
+        h2 = offset
+        brk = mstroke & ((v2 <= 0) | (h2 <= 0))
+        go_ = pre & ~brk
+
+        b0 = go_ & (max_all == del_ext)
+        b1 = go_ & ~b0 & (max_all == del_open)
+        b2 = go_ & ~b0 & ~b1 & (max_all == ins_ext)
+        b3 = go_ & ~b0 & ~b1 & ~b2 & (max_all == ins_open)
+        b4 = go_ & ~b0 & ~b1 & ~b2 & ~b3 & (max_all == misms)
+        opv = jnp.where((b0 | b1) & valid, OP_D,
+                        jnp.where((b2 | b3) & valid, OP_I,
+                                  jnp.where(b4 & valid, OP_X, 0)))
+        rec = (jnp.minimum(nmatch, 0x3FFF)
+               | (opv << 14)
+               | (jnp.minimum(gap_len, 0x7FF) << 16)
+               | (gap_d << 27))
+        recs = jnp.where(cio == s, rec, recs)
+
+        score = jnp.where(b0 | b2, s_e,
+                          jnp.where(b1 | b3, s_o,
+                                    jnp.where(b4, s_x, score)))
+        k = k + jnp.where(b0 | b1, 1, 0) - jnp.where(b2 | b3, 1, 0)
+        offset = offset - jnp.where(b2 | b3 | b4, 1, 0)
+        btype = jnp.where(b0, 2, jnp.where(b2, 1,
+                          jnp.where(b1 | b3, 0, btype)))
+        return (score, k, offset, btype, valid.astype(I32),
+                started.astype(I32), recs)
+
+    zeros = jnp.zeros((P, 1), I32)
+    score, k, offset, btype, valid_i, started_i, recs = jax.lax.fori_loop(
+        0, lvl0 + 1, bt_body,
+        (scores, zeros, zeros, zeros, zeros, zeros, recs))
+
+    v = offset - k
+    h = offset
+    fin_m = bt_ok & (score == 0)
+    fin_g = bt_ok & ~fin_m
+    rec1 = jnp.where(
+        fin_m, jnp.minimum(jnp.maximum(offset, 0), 0x3FFF) | (OP_M << 14),
+        jnp.where(fin_g,
+                  jnp.minimum(jnp.maximum(v, 0), 0x3FFF) | (OP_D << 14), 0))
+    rec2 = jnp.where(
+        fin_g, jnp.minimum(jnp.maximum(h, 0), 0x3FFF) | (OP_I << 14), 0)
+    recs = jnp.where(cio == smax + 1, rec1, recs)
+    recs = jnp.where(cio == smax + 2, rec2, recs)
+    recs_ref[:, :] = recs
+
+
+def long_tile_pairs(cfg: AlignConfig):
+    """Largest pair tile whose buffers + estimated compiler stack fit the
+    16 MB VMEM budget (the stack term is calibrated against measured
+    scoped-vmem OOMs: the extend/backtrace bodies keep ~40 [P, Kp] i32
+    planes live), or None."""
+    smax = cfg.max_score
+    R = cfg.read_size
+    if smax > 1023 or R + 2 > 0x3FFF or R + smax + 2 >= 32767:
+        return None
+    Kp = _round_up(2 * smax + 1, 128)
+    Wp = _round_up(-(-(R + 2) // WB), 128)
+    WR = max(cfg.mismatch, cfg.gap_o + cfg.gap_e) + 1
+    for P in (64, 32, 16, 8):
+        ring = WR * 3 * P * Kp * 2
+        btb = 2 * 5 * P * Kp * 2
+        seqs = 2 * P * Wp * 4
+        side = (smax + 2) * P * 8 * 4
+        recs = 2 * P * record_cols(smax) * 4
+        stack = 40 * P * Kp * 4
+        if ring + btb + seqs + side + recs + stack + 2 * 1024 * 1024 \
+                < 16 * 1024 * 1024:
+            return P
+    return None
+
+
+def long_fit(cfg: AlignConfig) -> bool:
+    return long_tile_pairs(cfg) is not None
+
+
+def wfa_forward_pallas_long(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                            interpret: bool = False, packed: bool = False):
+    """Long-read WFA forward (+ on-device backtrace), HBM-spill tier.
+
+    Same contract as wfa_forward_pallas2: returns {"step_records":
+    [n, record_rows] i32} for native.wfa_steps_to_ops.  The kernel
+    compares 2-bit codes; raw-byte inputs are packed on the host here
+    (<=4-symbol alphabets only — api falls back to the XLA tier
+    otherwise, see requires_packed below).
+    """
+    if not packed:
+        import numpy as np
+        from aim_tpu.ops.common import pack_seqs
+        pp, tt, ok = pack_seqs(np.asarray(pats, np.uint8),
+                               np.asarray(txts, np.uint8),
+                               np.asarray(plens), np.asarray(tlens),
+                               cfg.read_size)
+        if not ok:
+            raise ValueError("long-read tier requires a <=4-symbol "
+                             "alphabet (use the XLA tier otherwise)")
+        pats, txts, packed = pp, tt, True
+    return _wfa_long_jit(pats, txts, plens, tlens, cfg=cfg,
+                         interpret=interpret)
+
+
+wfa_forward_pallas_long.requires_packed = True
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                  interpret: bool = False):
+    smax = cfg.max_score
+    R = cfg.read_size
+    n = pats.shape[0]
+    Kp = _round_up(2 * smax + 1, 128)
+    Wp = _round_up(-(-(R + 2) // WB), 128)
+    SRp = record_cols(smax)
+    S2 = smax + 2
+    WR = max(cfg.mismatch, cfg.gap_o + cfg.gap_e) + 1
+    P = long_tile_pairs(cfg)
+    if P is None:
+        raise ValueError("config exceeds the long-read tier's budget")
+
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
+    txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
+
+    n_orig = n
+    if n % P:
+        padn = _round_up(n, P) - n
+        pats = jnp.pad(pats, ((0, padn), (0, 0)))
+        txts = jnp.pad(txts, ((0, padn), (0, 0)))
+        plens = jnp.pad(plens, (0, padn))
+        tlens = jnp.pad(tlens, (0, padn))
+        n = n + padn
+    base_len = Wp * WB
+    if pats.shape[1] < base_len:
+        pats = jnp.pad(pats, ((0, 0), (0, base_len - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, base_len - txts.shape[1])))
+    pats = pats[:, :base_len].astype(I32)
+    txts = txts[:, :base_len].astype(I32)
+
+    # 14-base words (values <= 4^14 - 1 = 2^28 - 1: relay-safe).
+    def words_of(seq):
+        w = jnp.zeros((n, Wp), I32)
+        s3 = seq.reshape(n, Wp, WB)
+        for j in range(WB):
+            w = w + (s3[:, :, j] << (2 * j))
+        return w
+
+    patw = words_of(pats)
+    txtw = words_of(txts)
+
+    T = n // P
+    patw = patw.reshape(T, P, Wp)
+    txtw = txtw.reshape(T, P, Wp)
+    lens = jnp.stack([plens.astype(I32).reshape(T, P),
+                      tlens.astype(I32).reshape(T, P)], axis=2)  # [T, P, 2]
+    lens = jnp.pad(lens, ((0, 0), (0, 0), (0, 126)))
+
+    kernel = functools.partial(_wfa_long_kernel, cfg, P, Kp, Wp, SRp, WR)
+    recs, _hist = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((None, P, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, Wp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, P, SRp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, P, SRp), I32),
+            # HBM history, reused across grid steps (per-tile temporary)
+            jax.ShapeDtypeStruct((3, S2, P, Kp), I16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WR, 3, P, Kp), I16),   # wavefront ring
+            pltpu.VMEM((2, 5, P, Kp), I16),    # backtrace row buffers
+            pltpu.VMEM((S2, P, 8), I32),       # klo/khi/flags per score
+            pltpu.SemaphoreType.DMA((WR, 3)),
+            pltpu.SemaphoreType.DMA((2, 5)),
+        ],
+        interpret=interpret,
+    )(patw, txtw, lens)
+    return {"step_records": recs.reshape(n, SRp)[:n_orig, :smax + 4]}

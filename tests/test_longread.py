@@ -58,3 +58,51 @@ def test_swg_hbm_int16_cells():
     for i in range(N):
         assert cigar_of(res.ops[i], res.begin[i], res.end[i]) == \
             cigar_of(oops[i], ob[i], oe[i])
+
+
+def test_wfa_long_kernel_interpret_matches_oracle():
+    """The HBM-spill Pallas kernel (ops/wfa_pallas_long.py) in interpret
+    mode: forward ring + HBM history DMA + level-walk backtrace must be
+    byte-exact vs the oracle (the real-TPU sweep incl. 10 kbp/smax=500
+    runs out-of-band: tools/dev_long_tpu.py)."""
+    from aim_tpu.ops.wfa_pallas_long import (long_fit,
+                                             wfa_forward_pallas_long)
+
+    pairs = _pairs()
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=40, backtrace=True,
+                      adaptive=True, variant="hbm")
+    assert long_fit(cfg)
+    out = wfa_forward_pallas_long(pats, txts, pl.astype(np.int32),
+                                  tl.astype(np.int32), cfg=cfg,
+                                  interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=40,
+                                         max_ops=2 * R)
+    osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
+                                      gap_o=4, gap_e=1, max_score=40,
+                                      adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    for i in range(N):
+        assert cigar_of(ops[i], b[i], e[i]) == \
+            cigar_of(oops[i], ob[i], oe[i])
+
+
+def test_wfa_tier_selection():
+    """Dispatch: short configs take the VMEM kernel, beyond-VMEM configs
+    the HBM-spill kernel, and giants fall back to XLA."""
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.pallas_kernels import forward_fn
+    from aim_tpu.ops.wfa_pallas2 import vmem_fit2
+
+    short = derive_config("wfa", 100, 0.01, backtrace=True, adaptive=True)
+    assert vmem_fit2(short) and forward_fn(short) is not None
+
+    long_ = derive_config("wfa", 10000, 0.01, backtrace=True, adaptive=True,
+                          variant="hbm")
+    assert not vmem_fit2(long_)
+    fn = forward_fn(long_)
+    assert fn is not None and getattr(fn, "requires_packed", False)
+
+    giant = long_.replace(max_score=2000)
+    assert forward_fn(giant) is None
