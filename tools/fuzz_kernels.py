@@ -47,6 +47,15 @@ CONFIGS = [
     ("wfa", 96, dict(max_score=40, mismatch=3, gap_o=4, gap_e=1,
                      adaptive=True),
      dict(mismatch=3, gap_o=4, gap_e=1, max_score=40, adaptive=True)),
+    # beyond the VMEM tier: exercises the HBM-spill long-read kernel
+    # (ring spill, level-walk prefetch, gather extend) under non-default
+    # cost models
+    ("wfa", 256, dict(max_score=100, mismatch=5, gap_o=2, gap_e=1,
+                      adaptive=True, variant="hbm"),
+     dict(mismatch=5, gap_o=2, gap_e=1, max_score=100, adaptive=True)),
+    ("wfa", 256, dict(max_score=90, mismatch=2, gap_o=1, gap_e=3,
+                      variant="hbm"),
+     dict(mismatch=2, gap_o=1, gap_e=3, max_score=90, adaptive=False)),
 ]
 
 
