@@ -150,66 +150,77 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         c_lo = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
         c_hi = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
 
-        def probe(m, act, b_lo, b_hi):
+        def fun(w0, w1, sh):
+            return ((w0 >> sh)
+                    | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
+
+        def align_shifts(m):
             v = m - kvec
             mc = jnp.clip(m, 0, R + 1)
             vc = jnp.clip(v, 0, R + 1)
             qh = _div_wb(mc)
             qv = _div_wb(vc)
-            rh = mc - qh * WB
-            rv = vc - qv * WB
-            qh1 = jnp.minimum(qh + 1, Wp - 1)
-            qv1 = jnp.minimum(qv + 1, Wp - 1)
-            qh2 = jnp.minimum(qh + 2, Wp - 1)
-            qv2 = jnp.minimum(qv + 2, Wp - 1)
-            tw0 = gword(txtw_ref, qh, c_lo, c_hi, b_lo, b_hi)
-            tw1 = gword(txtw_ref, qh1, c_lo, c_hi, b_lo, b_hi)
-            tw2 = gword(txtw_ref, qh2, c_lo, c_hi, b_lo, b_hi)
-            pw0 = gword(patw_ref, qv, c_lo, c_hi, b_lo, b_hi)
-            pw1 = gword(patw_ref, qv1, c_lo, c_hi, b_lo, b_hi)
-            pw2 = gword(patw_ref, qv2, c_lo, c_hi, b_lo, b_hi)
-            sh_h = 2 * rh
-            sh_v = 2 * rv
+            return v, qh, qv, 2 * (mc - qh * WB), 2 * (vc - qv * WB)
 
-            def fun(w0, w1, sh):
-                return ((w0 >> sh)
-                        | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
-
-            za = fun(tw0, tw1, sh_h) ^ fun(pw0, pw1, sh_v)
-            zb = fun(tw1, tw2, sh_h) ^ fun(pw1, pw2, sh_v)
-            ja = ctz28(za) >> 1
-            jb = ctz28(zb) >> 1
-            jm = jnp.where(za != 0, ja, WB + jb)
-            lim_raw = jnp.minimum(plens - v, tlens - m)
-            lim = jnp.clip(lim_raw, 0, 2 * WB)
-            j = jnp.minimum(jm, lim)
-            m2 = jnp.where(act, m + j, m)
-            cont = act & (j == 2 * WB) & (lim_raw > 2 * WB)
-            return m2, cont
-
-        # scalar word-block bounds once per step; each probe advances
-        # offsets by at most 2 words, so the upper bound is carried and
-        # incremented instead of re-reduced every iteration
+        # First probe: one 2*WB-base (28-base) window — most lanes stop
+        # inside it.  Returns the last fetched words so continuations can
+        # reuse them (a continuing lane advanced exactly two words).
+        v, qh, qv, sh_h, sh_v = align_shifts(m)
         mc0 = jnp.clip(m, 0, R + 1)
         vc0 = jnp.clip(m - kvec, 0, R + 1)
-        q0 = _div_wb(mc0)
-        qv0 = _div_wb(vc0)
-        q_lo = jnp.min(jnp.where(do_ext, jnp.minimum(q0, qv0), BIG))
-        q_hi = jnp.max(jnp.where(do_ext, jnp.maximum(q0, qv0), -BIG)) + 2
+        q_lo = jnp.min(jnp.where(do_ext, jnp.minimum(qh, qv), BIG))
+        q_hi = jnp.max(jnp.where(do_ext, jnp.maximum(qh, qv), -BIG)) + 2
         b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
         b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
-        m, cont = probe(m, do_ext, b_lo, b_hi)
 
+        def gw(ref, q, b_hi_):
+            return gword(ref, jnp.minimum(q, Wp - 1), c_lo, c_hi, b_lo,
+                         b_hi_)
+
+        tw0 = gw(txtw_ref, qh, b_hi)
+        tw1 = gw(txtw_ref, qh + 1, b_hi)
+        tw2 = gw(txtw_ref, qh + 2, b_hi)
+        pw0 = gw(patw_ref, qv, b_hi)
+        pw1 = gw(patw_ref, qv + 1, b_hi)
+        pw2 = gw(patw_ref, qv + 2, b_hi)
+        za = fun(tw0, tw1, sh_h) ^ fun(pw0, pw1, sh_v)
+        zb = fun(tw1, tw2, sh_h) ^ fun(pw1, pw2, sh_v)
+        jm = jnp.where(za != 0, ctz28(za) >> 1, WB + (ctz28(zb) >> 1))
+        lim_raw = jnp.minimum(plens - v, tlens - m)
+        j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 2 * WB))
+        m = jnp.where(do_ext, m + j, m)
+        cont = do_ext & (j == 2 * WB) & (lim_raw > 2 * WB)
+
+        # Continuations: 4*WB-base (56-base) windows.  A continuing lane
+        # is word-aligned relative to its first probe (m advanced by a
+        # whole number of words), so the previous window's last words
+        # seed the next and only 4 fresh gathers per sequence side are
+        # needed for 56 more bases.
         def wbody(st):
-            m, cont_i, q_hi = st
-            q_hi = q_hi + 2
-            m2, c2 = probe(m, cont_i > 0, b_lo,
-                           jnp.clip(q_hi >> 7, 0, NB - 1))
-            return m2, c2.astype(I32), q_hi
+            m, cont_i, tw0, pw0, q_hi = st
+            act = cont_i > 0
+            v, qh, qv, sh_h, sh_v = align_shifts(m)
+            q_hi = q_hi + 4
+            b_hi_ = jnp.clip(q_hi >> 7, 0, NB - 1)
+            tws = [tw0]
+            pws = [pw0]
+            for d in (1, 2, 3, 4):
+                tws.append(gw(txtw_ref, qh + d, b_hi_))
+                pws.append(gw(patw_ref, qv + d, b_hi_))
+            jm = jnp.full((P, Kp), 4 * WB, I32)
+            for d in (3, 2, 1, 0):
+                z = fun(tws[d], tws[d + 1], sh_h) ^ \
+                    fun(pws[d], pws[d + 1], sh_v)
+                jm = jnp.where(z != 0, d * WB + (ctz28(z) >> 1), jm)
+            lim_raw = jnp.minimum(plens - v, tlens - m)
+            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 4 * WB))
+            m2 = jnp.where(act, m + j, m)
+            c2 = act & (j == 4 * WB) & (lim_raw > 4 * WB)
+            return m2, c2.astype(I32), tws[4], pws[4], q_hi
 
-        m, _, _ = jax.lax.while_loop(
+        m, _, _, _, _ = jax.lax.while_loop(
             lambda st: jnp.max(st[1]) > 0, wbody,
-            (m, cont.astype(I32), q_hi))
+            (m, cont.astype(I32), tw2, pw2, q_hi))
         return m
 
     # ---------------- side (klo/khi/flags) ----------------
