@@ -123,3 +123,35 @@ def test_shard_range_covers_and_preserves_order():
         lo, hi = shard_range(total, h, 4)
         covered.extend(range(lo, hi))
     assert covered == list(range(total))
+
+
+def test_shard_map_long_kernel_interpret_matches_oracle():
+    """The HBM-spill long-read kernel under shard_map (per-shard DMA ring
+    + ANY-space history), interpret mode on the CPU mesh."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from aim_tpu.ops.common import pack_seqs
+    from aim_tpu.ops.wfa_pallas_long import wfa_forward_pallas_long
+
+    R = 40
+    pairs = random_pairs(seed=53, n=64, max_len=R - 8)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=10, backtrace=True,
+                      adaptive=True, variant="hbm")
+    pp, pt, ok = pack_seqs(pats, txts, pl, tl, R)
+    assert ok
+    mesh = make_mesh()
+    inner = functools.partial(wfa_forward_pallas_long, cfg=cfg,
+                              interpret=True, packed=True)
+    fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
+                   in_specs=(P("pairs"),) * 4,
+                   out_specs={"step_records": P("pairs", None)},
+                   check_rep=False)
+    recs = np.asarray(fn(pp, pt, pl.astype(np.int32),
+                         tl.astype(np.int32))["step_records"])
+    sc = recs[:, cfg.max_score + 3]
+    osc, _, _, _ = nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4,
+                                 gap_e=1, max_score=10, adaptive=True,
+                                 backtrace=False)
+    np.testing.assert_array_equal(sc, osc)
