@@ -15,7 +15,8 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-from aim_tpu.config import ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig
+from aim_tpu.config import (ALGO_GENASM, ALGO_NW, ALGO_SWG, ALGO_WFA,
+                            AlignConfig)
 from aim_tpu import native
 
 # Persistent compilation cache (compiles are expensive on this host; a
@@ -113,6 +114,10 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                 return fn
         except ImportError:
             pass
+    if cfg.algo == ALGO_GENASM:
+        # No XLA tier: GenASM runs on the Pallas kernel or the exact
+        # multi-threaded host oracle (align() handles fwd=None).
+        return None
     if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_xla import nw_forward
         return nw_forward
@@ -149,6 +154,10 @@ def _oracle_align(pats, txts, plens, tlens, cfg: AlignConfig):
                                 gap_e=cfg.gap_e, max_score=cfg.max_score,
                                 cell_width=cfg.cell_width,
                                 backtrace=cfg.backtrace, threads=0)
+    if cfg.algo == ALGO_GENASM:
+        return native.genasm_align(pats, txts, plens, tlens,
+                                   max_score=cfg.max_score,
+                                   backtrace=cfg.backtrace, threads=0)
     return native.wfa_align(pats, txts, plens, tlens, mismatch=cfg.mismatch,
                             gap_o=cfg.gap_o, gap_e=cfg.gap_e,
                             max_score=cfg.max_score, adaptive=cfg.adaptive,
@@ -210,6 +219,17 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     begin = np.zeros(n, np.int32) if cfg.backtrace else None
     end = np.zeros(n, np.int32) if cfg.backtrace else None
     res = AlignResult(scores, ops, begin, end)
+
+    if fwd is None:
+        # Host tier (GenASM beyond the Pallas gate / non-TPU platforms):
+        # the exact multi-threaded native oracle IS the compute path.
+        t0 = time.perf_counter()
+        osc, oops, ob, oe = _oracle_align(pats, txts, plens, tlens, cfg)
+        res.t_kernel = time.perf_counter() - t0
+        scores[:] = osc
+        if cfg.backtrace:
+            ops[:], begin[:], end[:] = oops, ob, oe
+        return res
 
     # Constant per-chunk shape (one jit specialization); padded tail pairs
     # have zero lengths and finish immediately.

@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="aim-tpu", add_help=True)
     sub = ap.add_subparsers(dest="algo", required=True)
 
-    def common(p, affine: bool):
+    def common(p, affine):
         p.add_argument("-i", "--input", type=str, required=True,
                        help="Input read pairs file path")
         p.add_argument("-o", "--output", type=str, default="./out",
@@ -38,16 +38,17 @@ def build_parser() -> argparse.ArgumentParser:
                        help="Percentage error per read length")
         p.add_argument("-n", "--number_reads", type=int, required=True,
                        help="Number of read pairs to be aligned")
-        p.add_argument("-m", "--match_cost", type=int, default=0,
-                       help="Cost of characters match")
-        p.add_argument("-x", "--mismatch_cost", type=int, default=3,
-                       help="Cost of characters mismatch")
+        if affine is not None:
+            p.add_argument("-m", "--match_cost", type=int, default=0,
+                           help="Cost of characters match")
+            p.add_argument("-x", "--mismatch_cost", type=int, default=3,
+                           help="Cost of characters mismatch")
         if affine:
             p.add_argument("-g", "--gap_opening", type=int, default=4,
                            help="Cost of opening a new gap")
             p.add_argument("-a", "--gap_extending", type=int, default=1,
                            help="Cost of extending gap")
-        else:
+        elif affine is not None:
             p.add_argument("-g", "--gap", type=int, default=4,
                            help="Cost of gap (GAP_I = GAP_D)")
         p.add_argument("-b", "--backtrace", action="store_true",
@@ -77,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     nw = sub.add_parser("nw", help="Needleman-Wunsch edit distance")
     common(nw, affine=False)
+    ga = sub.add_parser("genasm",
+                        help="GenASM bitvector bounded edit distance "
+                             "(beyond the reference snapshot: its genasm "
+                             "submodule is empty)")
+    common(ga, affine=None)
     swg = sub.add_parser("swg", help="Smith-Waterman-Gotoh affine gap")
     common(swg, affine=True)
     wfa = sub.add_parser("wfa", help="wavefront alignment")
@@ -87,8 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> "AlignConfig":
+    if args.algo == "genasm":
+        # unit costs by definition; MAX_SCORE derives from the NW formula
+        cfg = derive_config("genasm", args.read_length, args.error,
+                            backtrace=args.backtrace, variant=args.variant,
+                            backend=args.backend)
     # Penalty validation mirrors the launchers (run-wfa-pim-mram.py:44-46).
-    if args.algo in ("swg", "wfa"):
+    elif args.algo in ("swg", "wfa"):
         if (args.match_cost > 0 or args.mismatch_cost <= 0
                 or args.gap_opening <= 0 or args.gap_extending <= 0):
             print("Wrong affine gap penalties must be  m <= 0 and g, a, x > 0\n")

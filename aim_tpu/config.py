@@ -33,8 +33,13 @@ def launcher_pad8(x: float) -> int:
 ALGO_NW = "nw"
 ALGO_SWG = "swg"
 ALGO_WFA = "wfa"
+# GenASM: bitvector bounded-edit-distance family.  The reference ships it
+# only as an empty submodule (.gitmodules:1-3); aim-tpu implements it with
+# clean Levenshtein semantics anchored to the NW walker at unit costs
+# (golden/genasm.py).
+ALGO_GENASM = "genasm"
 
-VALID_ALGOS = (ALGO_NW, ALGO_SWG, ALGO_WFA)
+VALID_ALGOS = (ALGO_NW, ALGO_SWG, ALGO_WFA, ALGO_GENASM)
 
 # The reference's WFA offsets are int16 with NULL = INT16_MIN/2
 # (ref: WFA/DPU-MRAM/common/common.h:98-100).
@@ -93,7 +98,7 @@ class AlignConfig:
         WFA: offsets int16 iff read_size < 32767
         (ref: run-wfa-pim-mram.py:62-65).
         """
-        if self.algo == ALGO_NW:
+        if self.algo in (ALGO_NW, ALGO_GENASM):
             return 2
         if self.algo == ALGO_SWG:
             if self.variant == "vmem" and self.max_score < 127:
@@ -131,6 +136,8 @@ class AlignConfig:
                     "wrong affine gap penalties: must be m <= 0 and g, a, x > 0")
         if self.algo == ALGO_NW and (self.mismatch <= 0 or self.gap_i <= 0 or self.gap_d <= 0):
             raise ValueError("NW penalties must be positive (x, g > 0)")
+        if self.algo == ALGO_GENASM and self.max_score < 0:
+            raise ValueError("GenASM edit threshold must be >= 0")
         return self
 
     def replace(self, **kw) -> "AlignConfig":
@@ -148,6 +155,11 @@ def wram_feasible(cfg: AlignConfig) -> bool:
     budget 62000 - 1024 stack (run-*-wram.py tasklet loop).
     """
     R = cfg.read_size
+    if cfg.algo == ALGO_GENASM:
+        # No reference WRAM envelope exists for GenASM (empty submodule);
+        # the device-tier gate is ops/genasm_pallas.vmem_fit_genasm and
+        # oversize configs serve from the exact host tier.
+        return True
     if cfg.algo == ALGO_NW:
         bound = 100 + 2 * R + R * R * 2
     elif cfg.algo == ALGO_SWG:
@@ -191,6 +203,23 @@ def derive_config(
     if read_length <= 0:
         raise ValueError("undefined input read length")
     wrong = read_length * error
+    if algo == ALGO_GENASM:
+        # unit costs: the NW formula with x = g = 1 -> ceil(2 * wrong)
+        cfg = AlignConfig(
+            algo=algo,
+            match=0,
+            mismatch=1,
+            gap_i=1,
+            gap_d=1,
+            read_size=launcher_pad8(read_length + wrong),
+            max_score=int(math.ceil(2 * wrong)),
+            backtrace=backtrace,
+            adaptive=False,
+            variant=variant,
+        )
+        if overrides:
+            cfg = dataclasses.replace(cfg, **overrides)
+        return cfg.validate()
     if algo == ALGO_NW:
         g = gap_opening if gap is None else gap
         max_score = math.ceil(max(wrong * mismatch, wrong * (g + g)))

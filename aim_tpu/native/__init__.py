@@ -93,6 +93,12 @@ def load():
             _i16p, ctypes.c_long, _i32p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, _chp, _i32p, _i32p,
         ]
+        lib.aim_genasm_align.restype = None
+        lib.aim_genasm_align.argtypes = [
+            _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _chp, _i32p, _i32p,
+        ]
         lib.aim_wfa_steps_to_ops.restype = None
         lib.aim_wfa_steps_to_ops.argtypes = [
             _i32p, ctypes.c_long, _i32p, _i32p, ctypes.c_long,
@@ -385,4 +391,30 @@ def wfa_steps_to_ops(records, plens, tlens, *, max_score, max_ops):
     end = np.zeros(n, np.int32)
     lib.aim_wfa_steps_to_ops(records, sr, plens, tlens, n,
                              max_score, max_ops, ops, scores, begin, end)
+    return scores, ops, begin, end
+
+
+def genasm_align(pats, txts, plens, tlens, *, max_score, backtrace,
+                 threads=1):
+    """GenASM host semantics: CLEAN bounded Levenshtein distance + the NW
+    walker's D -> I -> diagonal priority on a proper 2-D table (see
+    golden/genasm.py and oracle.cpp aim_genasm_align for the anchoring
+    argument).  Distances above max_score report max_score+1 with the
+    default "M" CIGAR (the framework's WFA overflow convention)."""
+    lib = load()
+    pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
+    n, read_size = pats.shape
+    max_ops = 2 * read_size
+    scores = np.zeros(n, np.int32)
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+
+    def worker(lo, hi):
+        lib.aim_genasm_align(pats[lo:hi], txts[lo:hi], plens[lo:hi],
+                             tlens[lo:hi], hi - lo, read_size, max_score,
+                             int(backtrace), scores[lo:hi], ops[lo:hi],
+                             begin[lo:hi], end[lo:hi])
+
+    _run_chunked(n, threads, worker)
     return scores, ops, begin, end

@@ -823,6 +823,75 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
 }
 
 // ---------------------------------------------------------------------------
+// GenASM oracle — CLEAN bounded-Levenshtein semantics (the reference ships
+// GenASM only as an empty submodule; aim-tpu anchors the family to the
+// true unit-cost edit distance with the NW walker's D -> I -> diagonal
+// priority on a proper 2-D table — deliberately NOT the reference NW
+// flat-tape aliasing, which is an artifact of nw.c's layout).  Distances
+// above max_score report max_score+1 with the default "M" CIGAR (the
+// framework's WFA overflow convention).  Spec: golden/genasm.py.
+// ---------------------------------------------------------------------------
+
+extern "C" void aim_genasm_align(const uint8_t *patterns, const uint8_t *texts,
+                                 const int32_t *plens, const int32_t *tlens,
+                                 long n, int read_size, int max_score,
+                                 int backtrace, int32_t *scores, char *ops,
+                                 int32_t *begin_off, int32_t *end_off) {
+  const long nc = read_size + 1;
+  std::vector<int16_t> tape((size_t)nc * nc);
+  const int max_ops = 2 * read_size;
+  for (long idx = 0; idx < n; ++idx) {
+    const uint8_t *pat = patterns + idx * read_size;
+    const uint8_t *txt = texts + idx * read_size;
+    const int plen = plens[idx], tlen = tlens[idx];
+    for (int j = 0; j <= plen; ++j) tape[(size_t)j * nc] = (int16_t)j;
+    for (int i = 0; i <= tlen; ++i) tape[i] = (int16_t)i;
+    for (int j = 1; j <= plen; ++j) {
+      const uint8_t pc = pat[j - 1];
+      int16_t *row = tape.data() + (size_t)j * nc;
+      const int16_t *up = row - nc;
+      for (int i = 1; i <= tlen; ++i) {
+        int16_t d = (int16_t)(up[i - 1] + (pc == txt[i - 1] ? 0 : 1));
+        int16_t a = (int16_t)(up[i] + 1);      // 'D': consume pattern
+        int16_t b = (int16_t)(row[i - 1] + 1); // 'I': consume text
+        if (a < d) d = a;
+        if (b < d) d = b;
+        row[i] = d;
+      }
+    }
+    int dist = tape[(size_t)plen * nc + tlen];
+    const int max_operations = plen + tlen;
+    char *o = ops + idx * max_ops;
+    if (backtrace) std::memset(o, 'M', (size_t)max_ops);
+    int begin = max_operations - 1, end = max_operations;
+    if (dist > max_score) {
+      scores[idx] = max_score + 1;
+    } else {
+      scores[idx] = dist;
+      if (backtrace) {
+        int op = end - 1, j = plen, i = tlen;
+        while (j > 0 && i > 0) {
+          int16_t cur = tape[(size_t)j * nc + i];
+          if (cur == tape[(size_t)(j - 1) * nc + i] + 1) {
+            o[op--] = 'D'; --j;
+          } else if (cur == tape[(size_t)j * nc + i - 1] + 1) {
+            o[op--] = 'I'; --i;
+          } else {
+            o[op--] = (pat[j - 1] == txt[i - 1]) ? 'M' : 'X';
+            --j; --i;
+          }
+        }
+        while (i > 0) { o[op--] = 'I'; --i; }
+        while (j > 0) { o[op--] = 'D'; --j; }
+        begin = op + 1;
+      }
+    }
+    begin_off[idx] = begin;
+    end_off[idx] = end;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Step-record expansion for the Pallas v2 WFA kernel (ops/wfa_pallas2.py).
 // records[i]: rows 0..max_score = per-score-level step records emitted by
 // the on-device backtrace in DESCENDING score order (gap | match stroke |
