@@ -93,8 +93,9 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     mesh = device_sharding.mesh
                     inner = fn
 
-                    out_key = ("step_records" if cfg.algo == ALGO_WFA
-                               else "packed_runs")
+                    out_key = {ALGO_WFA: "step_records",
+                               ALGO_GENASM: "genasm_records"}.get(
+                                   cfg.algo, "packed_runs")
 
                     def smfn(pats, txts, plens, tlens, *, cfg, **kw):
                         def one(*args):
@@ -261,8 +262,18 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
         fwd_kw["packed"] = packed
         if not packed and getattr(fwd, "requires_packed", False):
-            # >4-symbol alphabet on the long-read tier: the exact XLA
-            # tier serves it instead (rare; DNA data always packs).
+            # >4-symbol alphabet on a packing-only kernel (rare; DNA
+            # always packs): WFA falls to the exact XLA tier, GenASM to
+            # the host tier.
+            if cfg.algo == ALGO_GENASM:
+                t0 = time.perf_counter()
+                osc, oops, ob, oe = _oracle_align(pats, txts, plens,
+                                                  tlens, cfg)
+                res.t_kernel = time.perf_counter() - t0
+                scores[:] = osc
+                if cfg.backtrace:
+                    ops[:], begin[:], end[:] = oops, ob, oe
+                return res
             from aim_tpu.ops.wfa_xla import wfa_forward
             fwd = wfa_forward
             fwd_kw = {}
@@ -305,7 +316,10 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         chunk = slice(lo, hi)
         csize = hi - lo
         host = {k: np.ascontiguousarray(v)[:csize] for k, v in out.items()}
-        if "step_records" in host:
+        if "genasm_records" in host:
+            host["scores"] = host["genasm_records"][:, cfg.read_size + 3] \
+                .astype(np.int32)
+        elif "step_records" in host:
             # WFA v2 record: row smax+3 = scores (no fallback conditions).
             host["scores"] = host["step_records"][:, cfg.max_score + 3] \
                 .astype(np.int32)
@@ -319,7 +333,12 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         scores[chunk] = host["scores"]
         fb = host.get("needs_fallback")
         if cfg.backtrace:
-            if "step_records" in host:
+            if "genasm_records" in host:
+                # GenASM: same record grammar, level rows = text positions
+                _, o, b, e = native.wfa_steps_to_ops(
+                    host["genasm_records"], plens[chunk], tlens[chunk],
+                    max_score=cfg.read_size, max_ops=max_ops)
+            elif "step_records" in host:
                 # WFA v2: expand the per-score-level step records.
                 _, o, b, e = native.wfa_steps_to_ops(
                     host["step_records"], plens[chunk], tlens[chunk],

@@ -15,8 +15,8 @@ wrap flags see every cell) is the exact fallback.
 
 from __future__ import annotations
 
-from aim_tpu.config import (ALGO_NW, ALGO_SWG, ALGO_WFA, AlignConfig,
-                            wram_feasible)
+from aim_tpu.config import (ALGO_GENASM, ALGO_NW, ALGO_SWG, ALGO_WFA,
+                            AlignConfig, wram_feasible)
 
 
 def forward_fn(cfg: AlignConfig):
@@ -40,6 +40,16 @@ def forward_fn(cfg: AlignConfig):
         if long_fit(cfg):
             def fn(*args, **kw):
                 return wfa_forward_pallas_long(*args, **kw)
+
+            fn.requires_packed = True
+            return fn
+    if cfg.algo == ALGO_GENASM:
+        from aim_tpu.ops.genasm_pallas import (genasm_forward_pallas,
+                                               vmem_fit_genasm)
+
+        if vmem_fit_genasm(cfg):
+            def fn(*args, **kw):
+                return genasm_forward_pallas(*args, **kw)
 
             fn.requires_packed = True
             return fn

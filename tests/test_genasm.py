@@ -95,3 +95,55 @@ def test_genasm_api_and_cli_host_tier(tmp_path):
     nat.emit_output(ref, np.arange(len(osc), dtype=np.int32), osc, oops,
                     ob, oe, True)
     assert open(out, "rb").read() == open(ref, "rb").read()
+
+
+def test_genasm_pallas_interpret_matches_oracle():
+    from aim_tpu.config import AlignConfig
+    from aim_tpu.ops.genasm_pallas import (genasm_forward_pallas,
+                                           genasm_record_rows,
+                                           vmem_fit_genasm)
+
+    R, K = 32, 12
+    pairs = random_pairs(seed=73, n=128, max_len=24)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="genasm", read_size=R, max_score=K,
+                      backtrace=True)
+    assert vmem_fit_genasm(cfg)
+    out = genasm_forward_pallas(pats, txts, pl.astype(np.int32),
+                                tl.astype(np.int32), cfg=cfg,
+                                interpret=True)
+    recs = np.asarray(out["genasm_records"])
+    assert recs.shape[1] == genasm_record_rows(R)
+    sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=R,
+                                         max_ops=2 * R)
+    osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=K,
+                                         backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    for i in range(len(pairs)):
+        assert cigar_of(ops[i], b[i], e[i]) == \
+            cigar_of(oops[i], ob[i], oe[i]), (i, pairs[i])
+
+
+def test_genasm_pallas_interpret_edge_cases():
+    from aim_tpu.config import AlignConfig
+    from aim_tpu.ops.genasm_pallas import genasm_forward_pallas
+
+    EDGE = [("", "ACG"), ("ACG", ""), ("", ""), ("A", "A"), ("A", "T"),
+            ("AC", "A"), ("A", "AC"), ("ACGT", "ACGT"), ("AAAA", "TTTT"),
+            ("AAAAAAAA", "TTTTTTTT")] * 2
+    R, K = 16, 5
+    pats, txts, pl, tl = pack(EDGE, R)
+    cfg = AlignConfig(algo="genasm", read_size=R, max_score=K,
+                      backtrace=True)
+    out = genasm_forward_pallas(pats, txts, pl.astype(np.int32),
+                                tl.astype(np.int32), cfg=cfg,
+                                interpret=True)
+    recs = np.asarray(out["genasm_records"])
+    sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=R,
+                                         max_ops=2 * R)
+    osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=K,
+                                         backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    for i in range(len(EDGE)):
+        assert cigar_of(ops[i], b[i], e[i]) == \
+            cigar_of(oops[i], ob[i], oe[i]), (i, EDGE[i])

@@ -56,6 +56,10 @@ CONFIGS = [
     ("wfa", 256, dict(max_score=90, mismatch=2, gap_o=1, gap_e=3,
                       variant="hbm"),
      dict(mismatch=2, gap_o=1, gap_e=3, max_score=90, adaptive=False)),
+    ("genasm", 48, dict(max_score=12, mismatch=1, gap_i=1, gap_d=1),
+     dict(max_score=12)),
+    ("genasm", 96, dict(max_score=20, mismatch=1, gap_i=1, gap_d=1),
+     dict(max_score=20)),
 ]
 
 
@@ -64,7 +68,10 @@ def run_one(algo, R, kw, okw, seed, n=2048):
     pats, txts, pl, tl = pack(pairs, R)
     cfg = AlignConfig(algo=algo, read_size=R, backtrace=True, **kw)
     res = align(pats, txts, pl, tl, cfg)
-    if algo == "nw":
+    if algo == "genasm":
+        osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl,
+                                             backtrace=True, **okw)
+    elif algo == "nw":
         osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl,
                                          backtrace=True, **okw)
     elif algo == "swg":
