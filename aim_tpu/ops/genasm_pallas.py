@@ -391,5 +391,6 @@ def _genasm_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
         ],
         interpret=interpret,
     )(selM, pat3, txt3, lens)
-    recs = rec.transpose(0, 2, 1).reshape(n, SR)[:n_orig]
+    # drop the pad rows before D2H (relay pulls are ~60-90 ms/MB)
+    recs = rec.transpose(0, 2, 1).reshape(n, SR)[:n_orig, :R + 4]
     return {"genasm_records": recs}

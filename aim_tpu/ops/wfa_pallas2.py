@@ -537,8 +537,9 @@ def wfa_forward_pallas2(pats, txts, plens, tlens, *, cfg: AlignConfig,
         ],
         interpret=interpret,
     )(patx.reshape(T, Le8, P), txt3.reshape(T, Rp, P), lens)
-    # [T, SR, P] -> [n, SR]
-    recs = rec.transpose(0, 2, 1).reshape(n, SR)[:n_orig]
+    # [T, SR, P] -> [n, smax+4] (drop the pad rows before D2H — the
+    # relay charges ~60-90 ms/MB for pulls, PERFNOTES.md §2)
+    recs = rec.transpose(0, 2, 1).reshape(n, SR)[:n_orig, :smax + 4]
     return {"step_records": recs}
 
 

@@ -174,6 +174,85 @@ def main():
     cpu_mt = cpu_rate(0, m=n)
     marg_rate = 1e6 / marg_us if marg_us == marg_us and marg_us > 0 else 0
 
+    # Capability artifacts: the GenASM kernel and the 10 kbp long-read
+    # tier, measured the same way (device-resident batch-scaling slopes).
+    def aux_metrics():
+        import jax
+        from aim_tpu.ops.common import pack_seqs
+
+        out = {}
+        try:
+            from aim_tpu.ops.genasm_pallas import genasm_forward_pallas
+            gcfg = derive_config("genasm", 100, 0.01, backtrace=True)
+            gp, gt, ok = pack_seqs(pats, txts, plens, tlens, gcfg.read_size)
+            reps = (8, 32)
+            ts = []
+            for r in reps:
+                dp = jax.device_put(np.tile(gp, (r, 1)))
+                dt = jax.device_put(np.tile(gt, (r, 1)))
+                dpl = jax.device_put(np.tile(plens.astype(np.int32), r))
+                dtl = jax.device_put(np.tile(tlens.astype(np.int32), r))
+                jax.block_until_ready((dp, dt, dpl, dtl))
+                o = genasm_forward_pallas(dp, dt, dpl, dtl, cfg=gcfg,
+                                          packed=True)
+                jax.block_until_ready(o)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    o = genasm_forward_pallas(dp, dt, dpl, dtl, cfg=gcfg,
+                                              packed=True)
+                    jax.block_until_ready(o)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+                del dp, dt, dpl, dtl, o
+            out["genasm_marginal_us_per_pair"] = round(
+                (ts[1] - ts[0]) / (n * (reps[1] - reps[0])) * 1e6, 4)
+        except Exception as e:  # pragma: no cover
+            print(f"# genasm metric failed: {e}", file=sys.stderr)
+
+        try:
+            from aim_tpu.ops.wfa_pallas_long import wfa_forward_pallas_long
+            lcfg = derive_config("wfa", 10000, 0.01, backtrace=True,
+                                 adaptive=True, variant="hbm")
+            rng = np.random.default_rng(7)
+            bases = np.frombuffer(b"ACGT", np.uint8)
+            nl, ll = 256, 10000
+            lp = np.zeros((nl, lcfg.read_size), np.uint8)
+            lp[:, :ll] = bases[rng.integers(0, 4, (nl, ll))]
+            lt = lp.copy()
+            mut = rng.random((nl, ll)) < 0.01
+            lt[:, :ll] = np.where(mut, bases[rng.integers(0, 4, (nl, ll))],
+                                  lt[:, :ll])
+            lpl = np.full(nl, ll, np.int32)
+            ltl = np.full(nl, ll, np.int32)
+            pp, pt, ok = pack_seqs(lp, lt, lpl, ltl, lcfg.read_size)
+            ts = []
+            for m in (64, 256):
+                dp = jax.device_put(pp[:m])
+                dt = jax.device_put(pt[:m])
+                dpl = jax.device_put(lpl[:m])
+                dtl = jax.device_put(ltl[:m])
+                jax.block_until_ready((dp, dt, dpl, dtl))
+                o = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=lcfg,
+                                            packed=True)
+                jax.block_until_ready(o)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    o = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=lcfg,
+                                                packed=True)
+                    jax.block_until_ready(o)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+                del dp, dt, dpl, dtl, o
+            out["longread_10kbp_marginal_us_per_pair"] = round(
+                (ts[1] - ts[0]) / 192 * 1e6, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"# longread metric failed: {e}", file=sys.stderr)
+        return out
+
+    aux = aux_metrics()
+
     print(json.dumps({
         "metric": "WFA-adaptive pairs aligned/s/chip (100bp, e=1%, backtrace)",
         "value": round(tpu_pairs_s, 1),
@@ -185,6 +264,7 @@ def main():
         "cpu_mt_pairs_s": round(cpu_mt, 1),
         "vs_cpu_mt_e2e": round(tpu_pairs_s / cpu_mt, 3),
         "vs_cpu_mt_marginal": round(marg_rate / cpu_mt, 3),
+        **aux,
     }))
     print(f"# n={n} tpu_s={t_tpu:.3f} load={res.t_load:.3f} "
           f"kernel={res.t_kernel:.3f} retrieve={res.t_retrieve:.3f} "

@@ -113,7 +113,7 @@ def test_genasm_pallas_interpret_matches_oracle():
                                 tl.astype(np.int32), cfg=cfg,
                                 interpret=True)
     recs = np.asarray(out["genasm_records"])
-    assert recs.shape[1] == genasm_record_rows(R)
+    assert recs.shape[1] == R + 4
     sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=R,
                                          max_ops=2 * R)
     osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=K,
