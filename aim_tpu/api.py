@@ -424,10 +424,8 @@ def align_file(input_path: str, output_path: str, n_reads: int,
     res = align(pats, txts, plens, tlens, cfg, device_sharding)
     n = len(res.scores)
     idx = np.arange(n, dtype=np.int32)
-    t0 = time.perf_counter()
     native.emit_output(output_path, idx, res.scores, res.ops, res.begin,
                        res.end, cfg.backtrace)
-    t_emit = time.perf_counter() - t0
     if device_log:
         write_device_log(device_log, cfg, res, n)
     if verbose:

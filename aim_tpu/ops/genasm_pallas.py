@@ -112,7 +112,6 @@ def _genasm_kernel(cfg: AlignConfig, Rp: int, Wg: int, DW: int, DWp: int,
                    rec_ref,
                    hist_ref):
     R, k, _, _ = _geom(cfg)
-    K1 = k + 1
 
     plens = lens_ref[0:1, :]
     tlens = lens_ref[1:2, :]

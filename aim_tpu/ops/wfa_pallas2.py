@@ -1,18 +1,18 @@
 """WFA / WFA-adaptive — Pallas TPU kernel v2 (VMEM tier, pairs-in-lanes).
 
-One fused kernel per 128-pair tile runs the whole alignment on-chip, like
-ops/wfa_pallas.py (v1), but with a layout and algorithm redesign that
-removes v1's three dominant costs (each measured via
-tools/microbench_mosaic.py):
+One fused kernel per 128-pair tile runs the whole alignment on-chip.
+The layout and algorithm redesign removes the round-1 kernel's three
+dominant costs (each measured via tools/microbench_mosaic.py; the old
+kernel lived at ops/wfa_pallas.py until commit 856e1fb):
 
   * LAYOUT: diagonals k live in SUBLANES ([K8, 128] planes), pairs in
     lanes.  K8 = roundup(2*smax+1, 8) rows instead of v1's 128 padded
     lanes; k +-1 shifts are (cheap) sublane rolls; K is no longer capped
     by the 128-lane register width, which is what lets the long-read HBM
     tier reuse this kernel body.
-  * EXTEND: v1 walked all K diagonals through a one-hot gather over an
-    O(K*R) next-mismatch table per score step (its profiled hot spot).
-    v2 precomputes a per-(diagonal, pair) MISMATCH BITMASK — W16 words of
+  * EXTEND: the old kernel walked all K diagonals through a one-hot
+    gather over an O(K*R) next-mismatch table per score step (its
+    profiled hot spot).  This one precomputes a per-(diagonal, pair) MISMATCH BITMASK — W16 words of
     16 text positions each, built from static anti-diagonal slices of a
     reversed pattern plane, with sequence bounds applied as two threshold
     masks per word — and answers "first mismatch >= offset" in exactly
@@ -21,8 +21,8 @@ tools/microbench_mosaic.py):
     bit.  No data-dependent inner loop; ~40 plane ops per score step vs
     v1's O(K) one-hot reduces.  This is the TPU shape of the reference's
     per-character extend loop (ref: WFA/DPU-MRAM/dpu/wfa.c:193-215).
-  * BACKTRACE: v1 re-scanned the whole score history per step (O(S^2)
-    plane work).  v2 walks SCORE LEVELS s = s_start..0; at each level the
+  * BACKTRACE: the old kernel re-scanned the whole score history per
+    step (O(S^2) plane work).  This one walks SCORE LEVELS s = s_start..0; at each level the
     three predecessor scores s-x, s-o-e, s-e are level-relative, so the
     history rows are direct dynamic-slice reads and the per-pair (score,
     k) gather collapses to one one-hot over K8 sublanes.  Each level
@@ -34,7 +34,7 @@ tools/microbench_mosaic.py):
     tile has finished — easy tiles stop at their real max score instead
     of always paying MAX_SCORE iterations.
 
-Semantics are identical to v1/the native oracle, including the reference
+Semantics are identical to the native oracle, including the reference
 quirks: backtrace m-reads ignore m_null, the +1 applies to raw NULL
 values, unconditional match-stroke offset updates, trailing-gap insertion
 at the valid-location transition, and the MRAM-variant overflow behavior
@@ -80,7 +80,6 @@ def _wfa2_kernel(cfg: AlignConfig, K8: int, Rp: int, W16: int, Le8: int,
     smax = cfg.max_score
     R = cfg.read_size
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
-    K = 2 * smax + 1
 
     plens = lens_ref[0:1, :]                 # [1, P] i32
     tlens = lens_ref[1:2, :]

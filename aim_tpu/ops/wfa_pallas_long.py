@@ -49,7 +49,6 @@ from aim_tpu.config import AlignConfig
 I32 = jnp.int32
 I16 = jnp.int16
 F32 = jnp.float32
-U32 = jnp.uint32
 NULL = -16384
 BIG = 2 ** 20
 
@@ -166,8 +165,6 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         # inside it.  Returns the last fetched words so continuations can
         # reuse them (a continuing lane advanced exactly two words).
         v, qh, qv, sh_h, sh_v = align_shifts(m)
-        mc0 = jnp.clip(m, 0, R + 1)
-        vc0 = jnp.clip(m - kvec, 0, R + 1)
         q_lo = jnp.min(jnp.where(do_ext, jnp.minimum(qh, qv), BIG))
         q_hi = jnp.max(jnp.where(do_ext, jnp.maximum(qh, qv), -BIG)) + 2
         b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)

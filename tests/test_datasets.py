@@ -18,6 +18,9 @@ N_SUB = 1024  # CPU-XLA subset; the full runs happen on TPU (BASELINE.md)
 
 
 def _oracle(algo, cfg, pats, txts, pl, tl):
+    if algo == "genasm":
+        return nat.genasm_align(pats, txts, pl, tl,
+                                max_score=cfg.max_score, backtrace=True)
     if algo == "wfa":
         return nat.wfa_align(pats, txts, pl, tl, mismatch=3, gap_o=4,
                              gap_e=1, max_score=cfg.max_score,
@@ -86,7 +89,7 @@ ERR = "/root/reference/Datasets/ERR240727-l100-e1-30000Pairs"
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(SAMPLE), reason="dataset not mounted")
 @pytest.mark.parametrize("path,n", [(SAMPLE, 40000), (ERR, 30000)])
-@pytest.mark.parametrize("algo", ["wfa", "nw", "swg"])
+@pytest.mark.parametrize("algo", ["wfa", "nw", "swg", "genasm"])
 def test_full_dataset_byte_identity(tmp_path, algo, path, n):
     """The BASELINE.md full-dataset claim, reproducible in-tree: the whole
     file-to-file pipeline on both in-repo datasets is byte-identical to
@@ -106,7 +109,7 @@ def test_full_dataset_byte_identity(tmp_path, algo, path, n):
     assert open(out, "rb").read() == open(ref, "rb").read()
 
 
-@pytest.mark.parametrize("algo", ["wfa", "nw", "swg"])
+@pytest.mark.parametrize("algo", ["wfa", "nw", "swg", "genasm"])
 def test_zero_fallback_on_launcher_configs(algo):
     """The perf story depends on the fast path taking ~every pair: on
     launcher-derived configs over dataset-like synthetic pairs the
