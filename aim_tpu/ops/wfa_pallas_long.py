@@ -94,42 +94,46 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     nullk = jnp.full((P, Kp), NULL, I16)
 
     # ---------------- per-lane word gather ----------------
-    def gword(seq_ref, widx, c_lo, c_hi, b_lo, b_hi):
-        """out[p, k] = seq[p, widx[p, k]] for widx in [0, Wp).  Decomposed
-        into 128-lane take_along_axis gathers per (k-chunk, word-block);
-        both loops are skipped outside the scalar bounds the CALLER
-        derived from the live band and offset window (hoisted: scalar
-        reductions inside this inner loop dominated the kernel).  This
-        bounds the gather count by live work — the analogue of the
+    def gwords(seq_ref, q0, nwords, c_lo, c_hi, b_lo, b_hi):
+        """Fetch nwords planes: out[d][p, k] = seq[p, q0[p, k] + d] for
+        q0+d clamped to [0, Wp).  One pass over (k-chunk, word-block)
+        scalar-bounded skips serves ALL nwords offsets (the cond ladder
+        and index slicing dominated when issued per word).  Bounds come
+        from the live band and offset window — the analogue of the
         reference's band-proportional MRAM traffic."""
-        cols = []
+        cols = [[] for _ in range(nwords)]
         for c in range(NC):
-            idxc = widx[:, 128 * c:128 * (c + 1)]
-            bsel = idxc >> 7
-            r = idxc & 127
+            q0c = q0[:, 128 * c:128 * (c + 1)]
+            idx = [jnp.minimum(q0c + d, Wp - 1) for d in range(nwords)]
+            bsel = [ix >> 7 for ix in idx]
+            r = [ix & 127 for ix in idx]
 
-            def one_block(b, acc):
-                g = jnp.take_along_axis(seq_ref[:, 128 * b:128 * (b + 1)],
-                                        r, axis=1)
-                return acc + jnp.where(bsel == b, g, 0)
+            def one_block(b, accs):
+                blkref = seq_ref[:, 128 * b:128 * (b + 1)]
+                return tuple(
+                    acc + jnp.where(bsel[d] == b,
+                                    jnp.take_along_axis(blkref, r[d],
+                                                        axis=1), 0)
+                    for d, acc in enumerate(accs))
 
-            def chunk(blk):
+            def chunk(accs):
                 for b in range(NB):
-                    blk = jax.lax.cond(
-                        (b >= b_lo) & (b <= b_hi),
-                        functools.partial(one_block, b), lambda a: a, blk)
-                return blk
+                    accs = jax.lax.cond(
+                        (b >= b_lo) & (b <= b_hi + (nwords + 127) // 128),
+                        functools.partial(one_block, b), lambda a: a, accs)
+                return accs
 
-            blk = jnp.zeros((P, 128), I32)
+            accs = tuple(jnp.zeros((P, 128), I32) for _ in range(nwords))
             if NC > 1:
-                blk = jax.lax.cond((c >= c_lo) & (c <= c_hi), chunk,
-                                   lambda a: a, blk)
+                accs = jax.lax.cond((c >= c_lo) & (c <= c_hi), chunk,
+                                    lambda a: a, accs)
             else:
-                blk = chunk(blk)
-            cols.append(blk)
+                accs = chunk(accs)
+            for d in range(nwords):
+                cols[d].append(accs[d])
         if NC == 1:
-            return cols[0]
-        return jnp.concatenate(cols, axis=1)
+            return [cols[d][0] for d in range(nwords)]
+        return [jnp.concatenate(cols[d], axis=1) for d in range(nwords)]
 
     def ctz28(z):
         """Count trailing zeros of z in (0, 2^28); returns 28 for z == 0."""
@@ -170,16 +174,8 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
         b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
 
-        def gw(ref, q, b_hi_):
-            return gword(ref, jnp.minimum(q, Wp - 1), c_lo, c_hi, b_lo,
-                         b_hi_)
-
-        tw0 = gw(txtw_ref, qh, b_hi)
-        tw1 = gw(txtw_ref, qh + 1, b_hi)
-        tw2 = gw(txtw_ref, qh + 2, b_hi)
-        pw0 = gw(patw_ref, qv, b_hi)
-        pw1 = gw(patw_ref, qv + 1, b_hi)
-        pw2 = gw(patw_ref, qv + 2, b_hi)
+        tw0, tw1, tw2 = gwords(txtw_ref, qh, 3, c_lo, c_hi, b_lo, b_hi)
+        pw0, pw1, pw2 = gwords(patw_ref, qv, 3, c_lo, c_hi, b_lo, b_hi)
         za = fun(tw0, tw1, sh_h) ^ fun(pw0, pw1, sh_v)
         zb = fun(tw1, tw2, sh_h) ^ fun(pw1, pw2, sh_v)
         jm = jnp.where(za != 0, ctz28(za) >> 1, WB + (ctz28(zb) >> 1))
@@ -188,32 +184,33 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         m = jnp.where(do_ext, m + j, m)
         cont = do_ext & (j == 2 * WB) & (lim_raw > 2 * WB)
 
-        # Continuations: 4*WB-base (56-base) windows.  A continuing lane
-        # is word-aligned relative to its first probe (m advanced by a
-        # whole number of words), so the previous window's last words
-        # seed the next and only 4 fresh gathers per sequence side are
-        # needed for 56 more bases.
+        # Continuations: CW-word (112-base) windows.  Tile-max run length
+        # gates the whole tile through this loop (measured ~9 rounds/step
+        # at 28-base strides on 10 kbp e=1%), so continuation rounds are
+        # wide.  A continuing lane advanced a whole number of words, so
+        # the previous window's last word seeds the next round.
+        CW = 8
+
         def wbody(st):
             m, cont_i, tw0, pw0, q_hi = st
             act = cont_i > 0
             v, qh, qv, sh_h, sh_v = align_shifts(m)
-            q_hi = q_hi + 4
+            q_hi = q_hi + CW
             b_hi_ = jnp.clip(q_hi >> 7, 0, NB - 1)
-            tws = [tw0]
-            pws = [pw0]
-            for d in (1, 2, 3, 4):
-                tws.append(gw(txtw_ref, qh + d, b_hi_))
-                pws.append(gw(patw_ref, qv + d, b_hi_))
-            jm = jnp.full((P, Kp), 4 * WB, I32)
-            for d in (3, 2, 1, 0):
+            tws = [tw0] + gwords(txtw_ref, qh + 1, CW, c_lo, c_hi, b_lo,
+                                 b_hi_)
+            pws = [pw0] + gwords(patw_ref, qv + 1, CW, c_lo, c_hi, b_lo,
+                                 b_hi_)
+            jm = jnp.full((P, Kp), CW * WB, I32)
+            for d in range(CW - 1, -1, -1):
                 z = fun(tws[d], tws[d + 1], sh_h) ^ \
                     fun(pws[d], pws[d + 1], sh_v)
                 jm = jnp.where(z != 0, d * WB + (ctz28(z) >> 1), jm)
             lim_raw = jnp.minimum(plens - v, tlens - m)
-            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 4 * WB))
+            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, CW * WB))
             m2 = jnp.where(act, m + j, m)
-            c2 = act & (j == 4 * WB) & (lim_raw > 4 * WB)
-            return m2, c2.astype(I32), tws[4], pws[4], q_hi
+            c2 = act & (j == CW * WB) & (lim_raw > CW * WB)
+            return m2, c2.astype(I32), tws[CW], pws[CW], q_hi
 
         m, _, _, _, _ = jax.lax.while_loop(
             lambda st: jnp.max(st[1]) > 0, wbody,
