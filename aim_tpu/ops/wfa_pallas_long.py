@@ -192,29 +192,40 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         CW = 8
 
         def wbody(st):
-            m, cont_i, tw0, pw0, q_hi = st
+            m, cont_i, tw0, pw0, q_lo_w, q_hi = st
             act = cont_i > 0
             v, qh, qv, sh_h, sh_v = align_shifts(m)
+            # every continuing lane advanced exactly CW words, so both
+            # window bounds shift in lockstep
+            q_lo_w = q_lo_w + CW
             q_hi = q_hi + CW
+            b_lo_ = jnp.clip(q_lo_w >> 7, 0, NB - 1)
             b_hi_ = jnp.clip(q_hi >> 7, 0, NB - 1)
-            tws = [tw0] + gwords(txtw_ref, qh + 1, CW, c_lo, c_hi, b_lo,
+            tws = [tw0] + gwords(txtw_ref, qh + 1, CW, c_lo, c_hi, b_lo_,
                                  b_hi_)
-            pws = [pw0] + gwords(patw_ref, qv + 1, CW, c_lo, c_hi, b_lo,
+            pws = [pw0] + gwords(patw_ref, qv + 1, CW, c_lo, c_hi, b_lo_,
                                  b_hi_)
-            jm = jnp.full((P, Kp), CW * WB, I32)
+            # one ctz on the first nonzero sub-window (instead of a ctz
+            # chain per sub-window — the plane work here dominates)
+            zsel = jnp.zeros((P, Kp), I32)
+            base = jnp.full((P, Kp), CW, I32)
             for d in range(CW - 1, -1, -1):
                 z = fun(tws[d], tws[d + 1], sh_h) ^ \
                     fun(pws[d], pws[d + 1], sh_v)
-                jm = jnp.where(z != 0, d * WB + (ctz28(z) >> 1), jm)
+                nz = z != 0
+                zsel = jnp.where(nz, z, zsel)
+                base = jnp.where(nz, d, base)
+            jm = jnp.where(base < CW, base * WB + (ctz28(zsel) >> 1),
+                           CW * WB)
             lim_raw = jnp.minimum(plens - v, tlens - m)
             j = jnp.minimum(jm, jnp.clip(lim_raw, 0, CW * WB))
             m2 = jnp.where(act, m + j, m)
             c2 = act & (j == CW * WB) & (lim_raw > CW * WB)
-            return m2, c2.astype(I32), tws[CW], pws[CW], q_hi
+            return m2, c2.astype(I32), tws[CW], pws[CW], q_lo_w, q_hi
 
-        m, _, _, _, _ = jax.lax.while_loop(
+        m, _, _, _, _, _ = jax.lax.while_loop(
             lambda st: jnp.max(st[1]) > 0, wbody,
-            (m, cont.astype(I32), tw2, pw2, q_hi))
+            (m, cont.astype(I32), tw2, pw2, q_lo, q_hi))
         return m
 
     # ---------------- side (klo/khi/flags) ----------------
