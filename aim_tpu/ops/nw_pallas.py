@@ -241,21 +241,35 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         sel = jnp.where(b_iota == pos, arr, 0)
         return group_reduce_sum(sel, b_iota, L)
 
-    def emit_merge(runs, rc, mask, op, length):
+    def emit_merge(st, mask, op, length):
+        """Append/merge a run.  The top-of-stack run lives in registers
+        (top_op/top_len, group-broadcast) — re-reading it from the runs
+        plane cost a one-hot + group-reduce per emit, which dominated
+        the walk.  The plane only receives a run when the NEXT one is
+        pushed (plus a final flush after the loop)."""
+        runs, rc, top_op, top_len = st
         do = mask & (length > 0)
-        top = seg_at(runs, rc + 1)
-        top_op = top >> 12
-        top_len = top & 0xFFF
         can = do & (top_len > 0) & (top_op == op) \
             & (top_len + length <= 4095) & (rc < NRL - 1)
-        runs = jnp.where((b_iota == rc + 1) & can,
-                         (op << 12) | (top_len + length), runs)
+        top_len = jnp.where(can, top_len + length, top_len)
         push = do & ~can
-        val = (op << 12) | jnp.minimum(length, 4095)
-        runs = jnp.where((b_iota == rc) & push & (rc >= 2), val, runs)
+        # flush the previous top into its plane slot (rc+1)
+        val_old = (top_op << 12) | top_len
+        runs = jnp.where((b_iota == rc + 1) & push & (top_len > 0)
+                         & (rc + 1 >= 2) & (rc + 1 <= NRL - 1),
+                         val_old, runs)
+        top_op = jnp.where(push, op, top_op)
+        top_len = jnp.where(push, jnp.minimum(length, 4095), top_len)
         # no floor: pushing past band position 2 drives rc below 1, which
         # becomes needs_fallback (capacity exceeded).
         rc = jnp.where(push, rc - 1, rc)
+        return runs, rc, top_op, top_len
+
+    def emit_flush(st):
+        runs, rc, top_op, top_len = st
+        val = (top_op << 12) | top_len
+        runs = jnp.where((b_iota == rc + 1) & (top_len > 0)
+                         & (rc + 1 <= NRL - 1) & (rc + 1 >= 2), val, runs)
         return runs, rc
 
     if cfg.backtrace:
@@ -263,9 +277,10 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         vcur = plens
         runs = jnp.zeros((P, 128), I32)
         rc = jnp.full((P, 128), NRL - 1, I32)
+        top0 = jnp.zeros((P, 128), I32)
 
         def bt_body(i, st):
-            hcur, vcur, runs, rc = st
+            hcur, vcur, runs, rc, top_op, top_len = st
             h = R - i
             act = (hcur == h) & (hcur > 0) & (vcur > 0)
             cr = (bits_ref[h >> 2].astype(I32) >> (2 * (h & 3))) & 3
@@ -280,7 +295,7 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             pm_b = seg_at(pm, b)
             dlen = jnp.where(act, b - pm_b, 0)
             dlen = jnp.minimum(dlen, vcur)         # never walk past v=0
-            runs, rc = emit_merge(runs, rc, act, OP_D, dlen)
+            st2 = emit_merge((runs, rc, top_op, top_len), act, OP_D, dlen)
             vcur = vcur - dlen
             # one row-exit step (I or diag) if still in the main loop
             act2 = act & (vcur > 0)
@@ -291,16 +306,18 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             is_x = act2 & (code2 == C_X)
             one = jnp.ones((P, 128), I32)
             op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
-            runs, rc = emit_merge(runs, rc, is_i | is_m | is_x, op_sel, one)
+            runs, rc, top_op, top_len = emit_merge(
+                st2, is_i | is_m | is_x, op_sel, one)
             hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
             vcur = vcur - jnp.where(is_m | is_x, 1, 0)
-            return hcur, vcur, runs, rc
+            return hcur, vcur, runs, rc, top_op, top_len
 
-        hcur, vcur, runs, rc = jax.lax.fori_loop(
-            0, R, bt_body, (hcur, vcur, runs, rc))
+        hcur, vcur, runs, rc, top_op, top_len = jax.lax.fori_loop(
+            0, R, bt_body, (hcur, vcur, runs, rc, top0, top0))
         # tails (ref: nw.c:100-106): I x h, then D x v (only one nonzero)
-        runs, rc = emit_merge(runs, rc, hcur > 0, OP_I, hcur)
-        runs, rc = emit_merge(runs, rc, vcur > 0, OP_D, vcur)
+        st2 = emit_merge((runs, rc, top_op, top_len), hcur > 0, OP_I, hcur)
+        st2 = emit_merge(st2, vcur > 0, OP_D, vcur)
+        runs, rc = emit_flush(st2)
         flag = flag | (rc < 1)
     else:
         runs = jnp.zeros((P, 128), I32)

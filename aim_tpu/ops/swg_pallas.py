@@ -254,19 +254,30 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         sel = jnp.where(b_iota == pos, arr, 0)
         return group_reduce_sum(sel, b_iota, L)
 
-    def emit_merge(runs, rc, mask, op, length):
+    def emit_merge(st, mask, op, length):
+        """Append/merge a run; the top-of-stack run lives in registers
+        (see ops/nw_pallas.py emit_merge — plane re-reads per emit
+        dominated the walk)."""
+        runs, rc, top_op, top_len = st
         do = mask & (length > 0)
-        top = seg_at(runs, rc + 1)
-        top_op = top >> 12
-        top_len = top & 0xFFF
         can = do & (top_len > 0) & (top_op == op) \
             & (top_len + length <= 4095) & (rc < NRL - 1)
-        runs = jnp.where((b_iota == rc + 1) & can,
-                         (op << 12) | (top_len + length), runs)
+        top_len = jnp.where(can, top_len + length, top_len)
         push = do & ~can
-        val = (op << 12) | jnp.minimum(length, 4095)
-        runs = jnp.where((b_iota == rc) & push & (rc >= 2), val, runs)
+        val_old = (top_op << 12) | top_len
+        runs = jnp.where((b_iota == rc + 1) & push & (top_len > 0)
+                         & (rc + 1 >= 2) & (rc + 1 <= NRL - 1),
+                         val_old, runs)
+        top_op = jnp.where(push, op, top_op)
+        top_len = jnp.where(push, jnp.minimum(length, 4095), top_len)
         rc = jnp.where(push, rc - 1, rc)
+        return runs, rc, top_op, top_len
+
+    def emit_flush(st):
+        runs, rc, top_op, top_len = st
+        val = (top_op << 12) | top_len
+        runs = jnp.where((b_iota == rc + 1) & (top_len > 0)
+                         & (rc + 1 >= 2) & (rc + 1 <= NRL - 1), val, runs)
         return runs, rc
 
     if cfg.backtrace:
@@ -277,7 +288,7 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         rc = jnp.full((P, 128), NRL - 1, I32)
 
         def bt_body(i, st):
-            hcur, vcur, layer, runs, rc, unfinished = st
+            hcur, vcur, layer, runs, rc, top_op, top_len, unfinished = st
             h = R - i
             act = (hcur == h) & (hcur > 0) & (vcur > 0)
             cr = (bits_ref[h >> 1].astype(I32) >> (4 * (h & 1))) & 0xF
@@ -294,7 +305,8 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             # I-layer arrival: one 'I' per sweep row (ref swg.c:66-72).
             in_i = act & (layer == L_I)
             one = jnp.ones((P, 128), I32)
-            runs, rc = emit_merge(runs, rc, in_i, OP_I, one)
+            runs, rc, top_op, top_len = emit_merge(
+                (runs, rc, top_op, top_len), in_i, OP_I, one)
             b_i = vcur - h + C
             io_here = seg_at(iopen, b_i)
             layer = jnp.where(in_i & (io_here == 1), L_M, layer)
@@ -318,7 +330,8 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                 dlen = jnp.where(is_d, b - pmd_b + 1, 0)
                 capped = is_d & (dlen >= vcur)
                 dlen = jnp.minimum(dlen, vcur)
-                runs, rc = emit_merge(runs, rc, is_d, OP_D, dlen)
+                runs, rc, top_op, top_len = emit_merge(
+                    (runs, rc, top_op, top_len), is_d, OP_D, dlen)
                 vcur = vcur - dlen
                 layer = jnp.where(capped, L_D, layer)   # exits via v==0
                 # non-D exits: one merged emit with a per-pair op code
@@ -326,8 +339,9 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                 is_m = pend & (ch == CH_M)
                 is_x = pend & (ch == CH_X)
                 op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
-                runs, rc = emit_merge(runs, rc, is_i | is_m | is_x,
-                                      op_sel, one)
+                runs, rc, top_op, top_len = emit_merge(
+                    (runs, rc, top_op, top_len), is_i | is_m | is_x,
+                    op_sel, one)
                 io_h = seg_at(iopen, b)
                 layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I),
                                   layer)
@@ -335,14 +349,18 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
                 vcur = vcur - jnp.where(is_m | is_x, 1, 0)
                 pending = is_d & ~capped & (vcur > 0)
             unfinished = jnp.maximum(unfinished, pending.astype(I32))
-            return hcur, vcur, layer, runs, rc, unfinished
+            return (hcur, vcur, layer, runs, rc, top_op, top_len,
+                    unfinished)
 
-        hcur, vcur, layer, runs, rc, unfinished = jax.lax.fori_loop(
-            0, R, bt_body,
-            (hcur, vcur, layer, runs, rc, jnp.zeros((P, 128), I32)))
+        zeros = jnp.zeros((P, 128), I32)
+        hcur, vcur, layer, runs, rc, top_op, top_len, unfinished = \
+            jax.lax.fori_loop(
+                0, R, bt_body,
+                (hcur, vcur, layer, runs, rc, zeros, zeros, zeros))
         # tails (ref swg.c:111-117): I x h, then D x v.
-        runs, rc = emit_merge(runs, rc, hcur > 0, OP_I, hcur)
-        runs, rc = emit_merge(runs, rc, vcur > 0, OP_D, vcur)
+        st2 = emit_merge((runs, rc, top_op, top_len), hcur > 0, OP_I, hcur)
+        st2 = emit_merge(st2, vcur > 0, OP_D, vcur)
+        runs, rc = emit_flush(st2)
         flag = flag | (rc < 1) | (unfinished > 0)
     else:
         runs = jnp.zeros((P, 128), I32)
