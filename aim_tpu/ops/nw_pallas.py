@@ -238,8 +238,13 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # per-pair position are one-hot selects + a segment all-reduce.
 
     def seg_at(arr, pos):
-        sel = jnp.where(b_iota == pos, arr, 0)
-        return group_reduce_sum(sel, b_iota, L)
+        """arr value at group-local band position pos, broadcast to the
+        whole segment — one within-vreg lane gather (Mosaic supports
+        take_along_axis at exactly 128 lanes) instead of a one-hot select
+        plus a log-L group all-reduce.  Out-of-range pos is clipped; every
+        caller masks such lanes."""
+        idx = g_iota * L + jnp.clip(pos, 0, L - 1)
+        return jnp.take_along_axis(arr, idx, axis=1)
 
     def emit_merge(st, mask, op, length):
         """Append/merge a run.  The top-of-stack run lives in registers
