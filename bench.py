@@ -181,6 +181,44 @@ def main():
         from aim_tpu.ops.common import pack_seqs
 
         out = {}
+
+        def slope(fn, cfg_, reps=(8, 32)):
+            gp, gt, okp = pack_seqs(pats, txts, plens, tlens,
+                                    cfg_.read_size)
+            ts = []
+            for r in reps:
+                dp = jax.device_put(np.tile(gp, (r, 1)))
+                dt = jax.device_put(np.tile(gt, (r, 1)))
+                dpl = jax.device_put(np.tile(plens.astype(np.int32), r))
+                dtl = jax.device_put(np.tile(tlens.astype(np.int32), r))
+                jax.block_until_ready((dp, dt, dpl, dtl))
+                o = fn(dp, dt, dpl, dtl, cfg=cfg_, packed=okp)
+                jax.block_until_ready(o)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    o = fn(dp, dt, dpl, dtl, cfg=cfg_, packed=okp)
+                    jax.block_until_ready(o)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+                del dp, dt, dpl, dtl, o
+            return round((ts[1] - ts[0]) / (n * (reps[1] - reps[0])) * 1e6,
+                         4)
+
+        try:
+            from aim_tpu.ops.nw_pallas import nw_forward_pallas
+            out["nw_marginal_us_per_pair"] = slope(
+                nw_forward_pallas,
+                derive_config("nw", 100, 0.01, backtrace=True))
+        except Exception as e:  # pragma: no cover
+            print(f"# nw metric failed: {e}", file=sys.stderr)
+        try:
+            from aim_tpu.ops.swg_pallas import swg_forward_pallas
+            out["swg_marginal_us_per_pair"] = slope(
+                swg_forward_pallas,
+                derive_config("swg", 100, 0.01, backtrace=True))
+        except Exception as e:  # pragma: no cover
+            print(f"# swg metric failed: {e}", file=sys.stderr)
         try:
             from aim_tpu.ops.genasm_pallas import genasm_forward_pallas
             gcfg = derive_config("genasm", 100, 0.01, backtrace=True)
