@@ -147,3 +147,37 @@ def test_genasm_pallas_interpret_edge_cases():
     for i in range(len(EDGE)):
         assert cigar_of(ops[i], b[i], e[i]) == \
             cigar_of(oops[i], ob[i], oe[i]), (i, EDGE[i])
+
+
+def test_genasm_shard_map_interpret_matches_oracle():
+    """GenASM under shard_map (the api's multi-device path), interpret
+    mode on the CPU mesh."""
+    import functools
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from aim_tpu.config import AlignConfig
+    from aim_tpu.ops.common import pack_seqs
+    from aim_tpu.ops.genasm_pallas import genasm_forward_pallas
+    from aim_tpu.parallel import make_mesh
+
+    R, K = 24, 8
+    pairs = random_pairs(seed=79, n=64, max_len=20)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="genasm", read_size=R, max_score=K,
+                      backtrace=True)
+    pp, pt, ok = pack_seqs(pats, txts, pl, tl, R)
+    assert ok
+    mesh = make_mesh()
+    inner = functools.partial(genasm_forward_pallas, cfg=cfg,
+                              interpret=True, packed=True)
+    fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
+                   in_specs=(P("pairs"),) * 4,
+                   out_specs={"genasm_records": P("pairs", None)},
+                   check_rep=False)
+    recs = np.asarray(fn(pp, pt, pl.astype(np.int32),
+                         tl.astype(np.int32))["genasm_records"])
+    sc = recs[:, R + 3]
+    osc, _, _, _ = nat.genasm_align(pats, txts, pl, tl, max_score=K,
+                                    backtrace=False)
+    np.testing.assert_array_equal(sc, osc)
