@@ -106,3 +106,50 @@ def test_wfa_tier_selection():
 
     giant = long_.replace(max_score=2000)
     assert forward_fn(giant) is None
+
+
+def test_wfa_long_kernel_mixed_lengths_interpret():
+    """One tile mixing empty, tiny, and full-length pairs: the extend's
+    block-window bounds span the whole word range (worst case for the
+    gather skipping) and padded pairs finish at score 0."""
+    from aim_tpu.ops.wfa_pallas_long import wfa_forward_pallas_long
+
+    rng = np.random.default_rng(91)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    R2, K2 = 520, 50
+    n = 16
+    pats = np.zeros((n, R2), np.uint8)
+    txts = np.zeros((n, R2), np.uint8)
+    pl = np.zeros(n, np.int32)
+    tl = np.zeros(n, np.int32)
+    lens = [0, 1, 13, 50, 250, 500]
+    for i in range(n):
+        lp = lens[i % len(lens)]
+        lt = max(0, lp + int(rng.integers(-3, 4))) if lp else 0
+        p0 = bases[rng.integers(0, 4, lp)] if lp else np.zeros(0, np.uint8)
+        if lt <= lp:
+            t0 = p0[:lt].copy()
+        else:
+            t0 = np.concatenate([p0, bases[rng.integers(0, 4, lt - lp)]])
+        if lt:
+            mut = rng.random(lt) < 0.02
+            t0 = np.where(mut, bases[rng.integers(0, 4, lt)], t0)
+        pats[i, :lp] = p0
+        txts[i, :lt] = t0
+        pl[i] = lp
+        tl[i] = lt
+    cfg = AlignConfig(algo="wfa", read_size=R2, max_score=K2,
+                      backtrace=True, adaptive=True, variant="hbm")
+    out = wfa_forward_pallas_long(pats, txts, pl, tl, cfg=cfg,
+                                  interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=K2,
+                                         max_ops=2 * R2)
+    osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
+                                      gap_o=4, gap_e=1, max_score=K2,
+                                      adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    for i in range(n):
+        if osc[i] <= K2:
+            assert cigar_of(ops[i], b[i], e[i]) == \
+                cigar_of(oops[i], ob[i], oe[i]), i
