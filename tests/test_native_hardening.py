@@ -55,3 +55,34 @@ def test_pack_seqs_fallbacks():
     pats2[0, 5] = ord("A")
     pp, pt, ok = pack_seqs(pats2, txts2, pl, tl, R)
     assert ok and pp.shape == (n, (R + 2 + 7) // 8 * 8 // 4)
+
+
+def test_wfa_steps_to_ops_malformed_records():
+    """The step-record expander must clamp, not overrun, on garbage
+    records (oversized strokes, runs past the buffer, negative-ish
+    fields): same defensive posture as aim_wfa_runs_to_ops."""
+    import aim_tpu.native as nat
+    n, smax, R = 4, 5, 16
+    sr = smax + 4
+    recs = np.zeros((n, sr), np.int32)
+    pl = np.full(n, 10, np.int32)
+    tl = np.full(n, 10, np.int32)
+    # pair 0: oversized match strokes on every level
+    recs[0, :smax + 1] = 0x3FFF
+    recs[0, smax + 3] = 3
+    # pair 1: max gap lengths with D flag + ops
+    recs[1, :smax + 1] = (0x7FF << 16) | (1 << 27) | (1 << 14)
+    recs[1, smax + 3] = 2
+    # pair 2: huge final strokes
+    recs[2, smax + 1] = 0x3FFF | (3 << 14)
+    recs[2, smax + 2] = 0x3FFF | (2 << 14)
+    recs[2, smax + 3] = 0
+    # pair 3: overflow score -> default "M"
+    recs[3, smax + 3] = smax + 1
+    sc, ops, b, e = nat.wfa_steps_to_ops(recs, pl, tl, max_score=smax,
+                                         max_ops=2 * R)
+    assert ops.shape == (n, 2 * R)
+    assert (b >= 0).all() and (b <= 2 * R).all()
+    assert (e == pl + tl).all()
+    assert sc[3] == smax + 1
+    assert ops[3, b[3]:e[3]].tobytes() == b"M"
