@@ -56,6 +56,12 @@ CONFIGS = [
     ("wfa", 256, dict(max_score=90, mismatch=2, gap_o=1, gap_e=3,
                       variant="hbm"),
      dict(mismatch=2, gap_o=1, gap_e=3, max_score=90, adaptive=False)),
+    # 1 kbp-class long-read config (keeps the HBM kernel's larger
+    # geometry — NB>1 word blocks — under standing fuzz)
+    ("wfa", 1040, dict(max_score=110, mismatch=4, gap_o=3, gap_e=2,
+                       adaptive=True, variant="hbm"),
+     dict(mismatch=4, gap_o=3, gap_e=2, max_score=110, adaptive=True),
+     256),
     ("genasm", 48, dict(max_score=12, mismatch=1, gap_i=1, gap_d=1),
      dict(max_score=12)),
     ("genasm", 96, dict(max_score=20, mismatch=1, gap_i=1, gap_d=1),
@@ -63,7 +69,7 @@ CONFIGS = [
 ]
 
 
-def run_one(algo, R, kw, okw, seed, n=2048):
+def run_one(algo, R, kw, okw, seed, n=2048):  # noqa: C901
     pairs = random_pairs(seed=seed, n=n, max_len=R - 8, balanced=False)
     pats, txts, pl, tl = pack(pairs, R)
     cfg = AlignConfig(algo=algo, read_size=R, backtrace=True, **kw)
@@ -100,9 +106,11 @@ def main():
     seed0 = int(sys.argv[1]) if len(sys.argv) > 1 else 101
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     bad = 0
-    for algo, R, kw, okw in CONFIGS:
+    for cfg_row in CONFIGS:
+        algo, R, kw, okw = cfg_row[:4]
+        n = cfg_row[4] if len(cfg_row) > 4 else 2048
         for s in range(seed0, seed0 + n_seeds):
-            bad += run_one(algo, R, kw, okw, s)
+            bad += run_one(algo, R, kw, okw, s, n=n)
     print("TOTAL BAD:", bad)
     sys.exit(1 if bad else 0)
 
