@@ -89,7 +89,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     # run one kernel instance per shard via shard_map (pairs
                     # are embarrassingly parallel — no collectives needed).
                     from jax.sharding import PartitionSpec as P
-                    from jax.experimental.shard_map import shard_map
+                    shard_map = jax.shard_map
                     mesh = device_sharding.mesh
                     inner = fn
 
@@ -105,7 +105,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                             in_specs=(P("pairs"), P("pairs"),
                                       P("pairs"), P("pairs")),
                             out_specs={out_key: P("pairs", None)},
-                            check_rep=False)(pats, txts, plens, tlens)
+                            check_vma=False)(pats, txts, plens, tlens)
 
                     smfn.supports_packed = True
                     smfn.requires_packed = getattr(fn, "requires_packed",
@@ -410,18 +410,27 @@ def write_device_log(path: str, cfg: AlignConfig, res: AlignResult, n: int):
 
 def align_file(input_path: str, output_path: str, n_reads: int,
                cfg: AlignConfig, device_sharding=None, verbose=True,
-               device_log: str | None = None, energy: bool = False):
+               device_log: str | None = None, energy: bool = False,
+               profile_dir: str | None = None):
     """Full file-to-file pipeline (the reference host main(), host.c:136).
 
     n_reads follows the reference CLI meaning: number of PAIRS requested;
     fewer are aligned if the file is shorter (get_reads tolerates EOF,
     ref: host.c:104-110).
+
+    profile_dir: when set, a jax.profiler trace of the device phases is
+    written there (TensorBoard-loadable) — the TPU-native analogue of the
+    reference's -DENERGY/probe instrumentation (SURVEY §5.1).
     """
     t0 = time.perf_counter()
     pats, txts, plens, tlens = native.parse_pairs(input_path, n_reads,
                                                   cfg.read_size)
     t_parse = time.perf_counter() - t0
-    res = align(pats, txts, plens, tlens, cfg, device_sharding)
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            res = align(pats, txts, plens, tlens, cfg, device_sharding)
+    else:
+        res = align(pats, txts, plens, tlens, cfg, device_sharding)
     n = len(res.scores)
     idx = np.arange(n, dtype=np.int32)
     native.emit_output(output_path, idx, res.scores, res.ops, res.begin,

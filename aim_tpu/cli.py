@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--device-log", type=str, default="",
                        help="per-device run log path (the reference's "
                             "dpu-out file; disabled when empty)")
+        p.add_argument("--profile", type=str, default="",
+                       help="write a jax.profiler trace of the device "
+                            "phases to this directory (TensorBoard-"
+                            "loadable; SURVEY §5.1 probe analogue)")
         p.add_argument("-q", "--quiet", action="store_true")
 
     nw = sub.add_parser("nw", help="Needleman-Wunsch edit distance")
@@ -171,7 +175,8 @@ def main(argv=None) -> int:
             print(f"NumReads per device = {per}")  # ref: host.c:192
     align_file(args.input, args.output, args.number_reads, cfg,
                device_sharding=sharding, verbose=not args.quiet,
-               device_log=args.device_log or None, energy=args.energy)
+               device_log=args.device_log or None, energy=args.energy,
+               profile_dir=args.profile or None)
     return 0
 
 

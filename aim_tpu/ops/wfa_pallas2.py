@@ -114,16 +114,21 @@ def _wfa2_kernel(cfg: AlignConfig, K8: int, Rp: int, W16: int, Le8: int,
         above = (ones16 << hi_rel) & ones16
         mm_ref[w] = (eqbits[w] ^ ones16) | below | above
 
-    # nmw: packed 3-bit fields, field w (w = 1..W16) = first word index
-    # >= w whose mismatch mask is nonzero.  A terminator bit exists at
-    # h = hi_b < Rp for every live diagonal, so the probe below always
-    # resolves within W16 words.
+    # nmw: packed 4-bit fields over NPL int32 planes (8 fields per
+    # plane), field w (w = 1..W16-1) = first word index >= w whose
+    # mismatch mask is nonzero.  4 bits hold indices <= 15, i.e.
+    # W16 <= 16 / Rp <= 256 — enforced by vmem_fit2; wider configs route
+    # to the long-read kernel.  (The round-2 version packed 3-bit fields
+    # into ONE plane, silently wrong past Rp = 128 — advisor finding.)
+    # A terminator bit exists at h = hi_b < Rp for every live diagonal,
+    # so the probe below always resolves within W16 words.
+    NPL = (W16 + 7) // 8
     nxt = jnp.full((K8, P), W16 - 1, I32)
-    nmw = jnp.zeros((K8, P), I32)
+    nmws = [jnp.zeros((K8, P), I32) for _ in range(NPL)]
     for w in range(W16 - 1, 0, -1):
         nz = mm_ref[w] != 0
         nxt = jnp.where(nz, w, nxt)
-        nmw = nmw | (nxt << (3 * w))
+        nmws[w // 8] = nmws[w // 8] | (nxt << (4 * (w % 8)))
 
     def first_mismatch_from(m):
         """First text position >= m flagged mismatch on the row's
@@ -135,8 +140,15 @@ def _wfa2_kernel(cfg: AlignConfig, K8: int, Rp: int, W16: int, Le8: int,
             sel = q == w
             mw = jnp.where(sel, mm_ref[w], mw)
         bits1 = mw & ((ones16 << jnp.clip(m - q * 16, 0, 16)) & ones16)
-        # round 2 word index: first mismatch word strictly after q
-        w2 = (nmw >> jnp.clip(3 * (q + 1), 0, 3 * W16)) & 7
+        # round 2 word index: first mismatch word strictly after q.
+        # fidx = q+1 may equal W16 (probe in the last word): the unwritten
+        # field reads 0, harmless — the terminator bit guarantees hit1
+        # there, so nw is never consulted.
+        fidx = q + 1
+        fld = jnp.zeros((K8, P), I32)
+        for pidx in range(NPL):
+            fld = jnp.where((fidx >> 3) == pidx, nmws[pidx], fld)
+        w2 = (fld >> (4 * (fidx & 7))) & 15
         w2 = jnp.clip(w2, 0, W16 - 1)
         for w in range(W16):
             sel = w2 == w
@@ -453,7 +465,9 @@ def vmem_fit2(cfg: AlignConfig) -> bool:
         return False  # step-record bit fields (11-bit gap, 14-bit stroke)
     K8 = _round_up(2 * smax + 1, 8)
     Rp = _round_up(R + 2, 16)
-    if Rp > 2048:
+    if Rp > 256:
+        # next-nonzero-word table packs 4-bit word indices (W16 <= 16);
+        # longer reads route to the HBM-spill long kernel, exact there.
         return False
     S2 = smax + 2
     hist = 3 * S2 * K8 * P * 2

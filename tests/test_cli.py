@@ -122,3 +122,18 @@ def test_cli_energy_estimate(tmp_path, pair_file, capsys):
     assert rc == 0
     assert "TPU Kernel Energy (J, estimated):" in capsys.readouterr().out
     assert "energy_est_J=" in open(tmp_path / "dev.log").read()
+
+
+@pytest.mark.slow
+def test_cli_profile_trace(tmp_path, pair_file):
+    """--profile must produce a jax.profiler trace dir (SURVEY §5.1: the
+    reference's timing/energy probes -> TensorBoard-loadable traces).
+    Slow-gated: trace collection takes ~70 s on this runtime."""
+    import os
+    out = str(tmp_path / "p.out")
+    prof = str(tmp_path / "trace")
+    rc = main(["wfa", "-i", pair_file, "-o", out, "-l", "20", "-e", "0.05",
+               "-n", "40", "--backend", "xla", "-q", "--profile", prof])
+    assert rc == 0
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace directory is empty"

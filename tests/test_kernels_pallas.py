@@ -145,3 +145,40 @@ def test_wfa_pallas_interpret_overflow_pairs():
     assert (sc == 6).all()
     for i in range(8):
         assert cigar_of(wops[i], wb[i], we[i]) == b"M"  # prints as "1M"
+
+
+def test_wfa_pallas_v2_wide_reads_multiplane_nmw():
+    """Reads past 128 bp exercise the multi-plane (NPL=2) next-nonzero-
+    word table — the round-2 single-plane 3-bit packing silently broke
+    for W16 > 8 (advisor finding).  R=200 -> Rp=208, W16=13."""
+    from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
+    R2, K2 = 200, 25
+    pairs = random_pairs(seed=23, n=128, max_len=R2 - 4)
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="wfa", read_size=R2, max_score=K2,
+                      backtrace=True, adaptive=True)
+    assert vmem_fit2(cfg)
+    out = wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg, interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, wops, wb, we = nat.wfa_steps_to_ops(recs, pl, tl, max_score=K2,
+                                            max_ops=2 * R2)
+    osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
+                                      gap_o=4, gap_e=1, max_score=K2,
+                                      adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    for i in range(len(pairs)):
+        if osc[i] <= K2:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
+def test_wfa_vmem_tier_gate_rp256():
+    """Configs past Rp=256 must NOT take the VMEM kernel (4-bit next-word
+    fields), and must still be served by the long kernel."""
+    from aim_tpu.ops.pallas_kernels import forward_fn
+    from aim_tpu.ops.wfa_pallas2 import vmem_fit2
+    big = AlignConfig(algo="wfa", read_size=300, max_score=30,
+                      backtrace=True, adaptive=True, variant="hbm")
+    assert not vmem_fit2(big)
+    fn = forward_fn(big)
+    assert fn is not None and getattr(fn, "requires_packed", False)

@@ -36,7 +36,7 @@ def test_shard_map_pallas_interpret_matches_oracle():
     shard via shard_map), in interpreter mode on the CPU mesh."""
     import functools
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
 
     R = 24
@@ -49,7 +49,7 @@ def test_shard_map_pallas_interpret_matches_oracle():
     fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
                    in_specs=(P("pairs"),) * 4,
                    out_specs={"step_records": P("pairs", None)},
-                   check_rep=False)
+                   check_vma=False)
     recs = np.asarray(fn(pats, txts, pl.astype(np.int32),
                          tl.astype(np.int32))["step_records"])
     sc = recs[:, cfg.max_score + 3]
@@ -130,7 +130,7 @@ def test_shard_map_long_kernel_interpret_matches_oracle():
     + ANY-space history), interpret mode on the CPU mesh."""
     import functools
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
     from aim_tpu.ops.common import pack_seqs
     from aim_tpu.ops.wfa_pallas_long import wfa_forward_pallas_long
 
@@ -147,7 +147,7 @@ def test_shard_map_long_kernel_interpret_matches_oracle():
     fn = shard_map(lambda a, b, c, d: inner(a, b, c, d), mesh=mesh,
                    in_specs=(P("pairs"),) * 4,
                    out_specs={"step_records": P("pairs", None)},
-                   check_rep=False)
+                   check_vma=False)
     recs = np.asarray(fn(pp, pt, pl.astype(np.int32),
                          tl.astype(np.int32))["step_records"])
     sc = recs[:, cfg.max_score + 3]

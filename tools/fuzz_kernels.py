@@ -47,6 +47,11 @@ CONFIGS = [
     ("wfa", 96, dict(max_score=40, mismatch=3, gap_o=4, gap_e=1,
                      adaptive=True),
      dict(mismatch=3, gap_o=4, gap_e=1, max_score=40, adaptive=True)),
+    # VMEM tier past 128 bp: W16 > 8 exercises the multi-plane next-
+    # nonzero-word table (the round-2 3-bit packing broke exactly here)
+    ("wfa", 200, dict(max_score=35, mismatch=4, gap_o=2, gap_e=2,
+                      adaptive=True),
+     dict(mismatch=4, gap_o=2, gap_e=2, max_score=35, adaptive=True)),
     # beyond the VMEM tier: exercises the HBM-spill long-read kernel
     # (ring spill, level-walk prefetch, gather extend) under non-default
     # cost models
