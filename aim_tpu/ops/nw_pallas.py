@@ -10,19 +10,38 @@ plane and are walked ON DEVICE into run-length CIGAR records, so only a
 [n, NRL] i16 record crosses D2H (vs the full-table direction bits of the
 XLA/HBM tier, ops/nw_xla.py — the DPU-MRAM analogue).
 
+Layout: G pairs share each 128-lane row, each owning an L-lane band
+segment (L the smallest power of two holding band + record); P = 128
+sublane rows -> PT = 128 * G pairs per tile.
+
+Round-3 rework (3x target over the round-2 kernel, VERDICT item 2):
+  * the per-row pattern/text gathers and window rolls (~26 plane ops per
+    row) are gone: an XLA prologue precomputes the banded MISMATCH
+    BITPLANES (bit j of word w at band lane b = pat[b-C+h-1] != txt[h-1]
+    for h = 32w+j+1) and the kernel reads one dynamically indexed word
+    per row (the TPU shape of the reference's per-cell char compare,
+    ref: nw.c:120-127);
+  * the min-plus deletion scan is truncated to the score-derived chain
+    depth DS (a walk-visited cell's in-row chain costs gd per link, so
+    value <= S implies depth <= S//gd; pairs with score//gd > DS are
+    flagged needs_fallback) — 2 rounds instead of log2(L) on launcher
+    configs;
+  * direction codes accumulate in registers, 16 codes per i32 word,
+    stored once per 16 rows;
+  * the traceback is EVENT-driven: a while loop where every active pair
+    consumes a D-run + one row-exit event per iteration, with whole
+    MATCH RUNS skipped in one step via a descending-packed is-match
+    bitplane (ctz on the inverted word) — ~20 iterations on launcher
+    configs instead of R row-synchronized ones.
+
 Banding is exact for a pair iff no optimal path can leave the band:
 reaching diagonal excursion d beyond the [min(0,kend), max(0,kend)]
 corridor costs >= d*(GAP_I+GAP_D), so a pair with banded score s is exact
 when |kend| + s//(GAP_I+GAP_D) + 1 <= C.  Pairs failing that (or the
-flat-tape aliasing / int16-wrap conditions below) are flagged
+flat-tape aliasing / int16-wrap / chain-depth conditions) are flagged
 needs_fallback and re-run by the caller on the exact path — on
 launcher-derived configs (MAX_SCORE = ceil(e*l*max(x, 2g))) real data
 virtually never flags.
-
-Band coordinates: lane b = v - h + C; row h-1 of the DP appears at the
-SAME lane for the diagonal term and at lane b+1 for the insertion term;
-the in-row deletion chain is a min-plus prefix scan along lanes (same
-linearization as ops/common.min_plus_scan, ref: nw.c:139).
 
 Reference semantics preserved (as in ops/nw_xla.py):
   * flat-tape aliasing: for plen == tlen+1 pairs the column-0 chain
@@ -31,8 +50,9 @@ Reference semantics preserved (as in ops/nw_xla.py):
     chain induction could break in the influence region are flagged).
   * traceback priority D -> I -> diag, 'X' iff equality with diag +
     MISMATCH (ref: nw.c:76-94); trailing I/D tails (nw.c:100-106).
-  * int16 cells (NW_W16): pairs whose live in-band cells exceed int16 are
-    flagged for the oracle (where the reference wraps).
+  * int16 cells (NW_W16): configs whose cells could exceed int16 keep the
+    per-row overflow check; the check is elided at trace time when
+    (2R+2)*max(gi,gd,x) fits int16 (then no cell can wrap).
 """
 
 from __future__ import annotations
@@ -45,11 +65,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.band import (band_ops, group_reduce_max, group_reduce_sum,
-                              log_shifts, round_up)
+from aim_tpu.ops.band import group_reduce_max, group_reduce_sum, round_up
 
 I32 = jnp.int32
 I16 = jnp.int16
+F32 = jnp.float32
 INF = 2 ** 20   # in-band "+infinity"; must stay <= 2**24 (PERFNOTES.md §1)
 INT16_MAX = 32767
 
@@ -60,39 +80,80 @@ C_D, C_I, C_M, C_X = 0, 1, 2, 3
 FLAG_FALLBACK = 1
 
 
+def band_geometry(cfg: AlignConfig):
+    """(C, L, G, NRL): band half-width, segment lanes, pairs per row,
+    record lanes.
+
+    Picks the SMALLEST power-of-two segment whose band and record
+    capacity PROVABLY cover every score <= MAX_SCORE pair of the config
+    (round-3: lane occupancy was the NW/SWG kernels' main throughput
+    loss — the canonical l=100 configs fit L=16, doubling pairs/tile):
+      * a pair with score s has diagonal skew |kend| <= s // min-indel
+        cost and band excursion dmax, so C >= skew + dmax + 1 never
+        band-flags it;
+      * its CIGAR has at most 2*(s // min-op-cost) + 3 merged runs
+        (every run alternation burns one non-free op), so capacity
+        NRL - 2 >= that never capacity-flags it.
+    Pairs beyond MAX_SCORE may flag and fall back — same contract as the
+    reference launchers' MAX_SCORE sizing (ref: run-nw-pim-wram.py)."""
+    smax = cfg.max_score
+    if cfg.algo == "swg":
+        # one k-unit of skew needs an unmatched indel: cheapest GO+k*GE
+        skew = max(0, smax - cfg.gap_o) // cfg.gap_e + 1
+        dmax = max(0, smax - 2 * cfg.gap_o) // (2 * cfg.gap_e) + 1
+        mincost = max(1, min(cfg.mismatch, cfg.gap_o + cfg.gap_e))
+    else:
+        skew = smax // max(1, min(cfg.gap_i, cfg.gap_d))
+        dmax = smax // max(1, cfg.gap_i + cfg.gap_d)
+        mincost = max(1, min(cfg.mismatch, cfg.gap_i, cfg.gap_d))
+    need_c = min(dmax + skew + 1, smax + 2, 62)
+    need_runs = min(2 * (smax // mincost) + 5, 2 * smax + 6)
+    for L in (8, 16, 32, 64, 128):
+        C = min(smax + 2, (L - 1) // 2, 62)
+        NRL = min(L, round_up(2 * smax + 8, 8))
+        if C >= need_c and NRL - 2 >= need_runs:
+            return C, L, 128 // L, NRL
+    return min(smax + 2, 62), 128, 1, min(128, round_up(2 * smax + 8, 8))
+
+
 def band_half(cfg: AlignConfig) -> int:
-    """Band half-width: excursions cost GAP_I+GAP_D per unit, length skew
-    |kend| <= wrong ~ MAX_SCORE/min-cost; C = MAX_SCORE covers both with
-    margin on launcher-derived configs."""
-    return min(cfg.max_score + 2, 62)
+    return band_geometry(cfg)[0]
 
 
 def runs_lanes_nw(cfg: AlignConfig) -> int:
     """Packed record lanes: lane0 = rc | flags<<8, lane1 = score, runs in
-    [2, NRL).  With merge-emit, run count <= op alternations + tails
-    <= 2*MAX_SCORE + 4 for unflagged pairs (each alternation needs >= 1
-    unit of score); flagged pairs go to the fallback anyway."""
-    return min(128, round_up(2 * cfg.max_score + 8, 8))
+    [2, NRL) (capacity argument: band_geometry)."""
+    return band_geometry(cfg)[3]
 
 
 def group_geom(cfg: AlignConfig):
-    """Grouped-lane geometry: G pairs share each 128-lane row, each owning
-    an L-lane segment (L = smallest power of two holding both the band
-    and the runs record).  For wide bands L=128, G=1 and everything
-    degenerates to one pair per row."""
-    B = 2 * band_half(cfg) + 1
-    need = max(B, runs_lanes_nw(cfg))
-    L = 8
-    while L < need:
-        L *= 2
-    L = min(L, 128)
-    return L, 128 // L
+    _, L, G, _ = band_geometry(cfg)
+    return L, G
 
 
-def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
-               L: int, G: int,
-               pats_ref, txts_ref, plens_ref, tlens_ref,
-               runs_ref, bits_ref):
+def scan_rounds(cfg: AlignConfig, chain_cost: int) -> int:
+    """Deletion-scan rounds: depth 2^r - 1 must cover the deepest in-row
+    chain a <=MAX_SCORE path can fund (chain_cost per link); capped at
+    the full-band log2 (the exactness flag re-checks with the pair's real
+    score, so MAX_SCORE here is only a sizing hint)."""
+    L, _ = group_geom(cfg)
+    need = min(cfg.max_score // max(chain_cost, 1) + 1, L - 1)
+    r = 0
+    while (1 << r) - 1 < need:
+        r += 1
+    return r
+
+
+def _ctz32(u):
+    """Count trailing zeros of u != 0 (any int32, incl. bit 31)."""
+    lsb = (u & (0 - u)).astype(F32)
+    return ((jax.lax.bitcast_convert_type(lsb, I32) >> 23) & 0xFF) - 127
+
+
+def _nw_kernel(cfg: AlignConfig, P: int, NRL: int, C: int, L: int, G: int,
+               W32: int, Q16: int, DS: int, check_ovf: bool,
+               mm_ref, plens_ref, tlens_ref,
+               runs_ref, cbits_ref, ism_ref):
     R = cfg.read_size
     gi, gd, x = cfg.gap_i, cfg.gap_d, cfg.mismatch
     B = 2 * C + 1
@@ -102,8 +163,6 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     g_iota = lane >> (L.bit_length() - 1)  # group index of each lane
     in_band = b_iota < B
 
-    # Per-pair scalars, group-broadcast to every lane of the pair's
-    # segment: pair (g, r) lives at block rows [g*P, (g+1)*P).
     def grouped_scalar(ref):
         out = jnp.zeros((P, 128), I32)
         for g in range(G):
@@ -124,96 +183,98 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
                      gi, row0)
 
-    minplus, sl1, sr1 = band_ops(b_iota, B, gd, INF, L)
+    ramp = b_iota * gd
+    hitmask = (b_iota == kend + C) & in_band
+    upper = jnp.minimum(plens, tlens + C)  # v <= plens, v - h <= C
 
-    # Per-group pair-major sequence windows (one pair per row inside each
-    # window; see the layout comment in the single-group kernel).  The
-    # grouped compare row is assembled from each window's first L lanes.
-    Rpw = max(128, round_up(Rp, 128))
+    def sl1(w, fill):
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(b_iota >= 1, r, fill)
 
-    def windows(ref, shift):
-        ws = []
-        for g in range(G):
-            w = ref[g * P:(g + 1) * P, :].astype(I32)
-            w = jnp.pad(w, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
-            ws.append(pltpu.roll(w, shift, 1) if shift else w)
-        return ws
+    def sr1(w, fill):
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(b_iota <= L - 2, r, fill)
 
-    patws0 = windows(pats_ref, C)
-    txtws0 = windows(txts_ref, 0)
-
-    def gather_groups(ws):
-        """Grouped row: lane g*L + b <- ws[g][row, b]."""
-        out = jnp.zeros((P, 128), I32)
-        for g in range(G):
-            wb = ws[g] if Rpw == 128 else \
-                jax.lax.slice_in_dim(ws[g], 0, 128, axis=1)
-            src = pltpu.roll(wb, g * L, 1) if g else wb
-            out = jnp.where(g_iota == g, src, out)
-        return out
+    # ---------------- forward (one fori iteration per text row) --------
+    # rows past the tile's longest text are dead — dynamic loop bound
+    # (the walk only reads rows <= tlens, and the h == hmax stores flush
+    # the partial code words)
+    hmax = jnp.minimum(jnp.max(tlens), R)
 
     def fwd_body(i, carry):
-        prev, patws, txtws, score_acc, ovf_acc = carry
+        prev, score_acc, ovf_acc, cacc, iacc = carry
         h = i + 1
-        patb = gather_groups(patws)
-        # text char of this row: lane 0 of each pair's rolled text window
-        tch = gather_groups([jnp.broadcast_to(
-            jax.lax.slice_in_dim(w, 0, 1, axis=1), (P, Rpw))
-            for w in txtws])
-        v = b_iota - C + h
-        valid = (v >= 1) & (v <= plens) & in_band
-        sub = jnp.where(patb == tch, 0, x)
-        # prev row at same v sits at band position b+1; diag (v-1) at b.
-        ins = jnp.where(valid, sr1(prev, INF) + gi, INF)
-        dia = jnp.where(valid, prev + sub, INF)
-        indep = jnp.minimum(ins, dia)
+        # banded mismatch cost from the precomputed bitplanes
+        sub = ((mm_ref[(h - 1) >> 5] >> ((h - 1) & 31)) & 1) * x
+        v = b_iota + (h - C)
+        valid = (v >= 1) & (v <= upper) & in_band
+        insv = sr1(prev, INF) + gi           # shared with ins_eq below
+        diav = prev + sub
+        indep = jnp.minimum(insv, diav)
         # column-0 boundary: v=0 at b = C - h (in-band for h <= C).
         # For ALIASED pairs (plen == tlen+1) the flat-tape chain
         # cell(h-1, plen) bootstraps from the aliased h-boundary slot and
         # reproduces EXACTLY the clean h*GAP_I by induction (the
         # insertion term h*gi stays below dia/dl ~ (plen-h)*gd while the
-        # guard below holds), so clean and aliased share one closed form.
-        col0 = h * gi
-        z = jnp.where((v == 0) & in_band, col0, indep)
-        z = jnp.where(valid | ((v == 0) & in_band), z, INF)
-        cur = minplus(z)
-        # clamp out-of-band / invalid lanes so INF never bleeds via ramp
+        # bad_alias guard below holds), so clean and aliased share one
+        # closed form.
+        z = jnp.where(valid, indep, INF)
+        z = jnp.where((v == 0) & in_band, h * gi, z)
+        # truncated min-plus deletion chain (depth 2^DSR - 1 = DS;
+        # exactness flagged via score//gd > DS below)
+        mscan = z - ramp
+        s_ = 1
+        while s_ <= DS:
+            rolled = pltpu.roll(mscan, s_, 1)
+            mscan = jnp.minimum(mscan,
+                                jnp.where(b_iota >= s_, rolled, INF))
+            s_ *= 2
+        cur = mscan + ramp
         cur = jnp.where(valid | ((v == 0) & in_band), cur, INF)
 
-        live = valid & (h <= tlens)
-        ovf_acc = jnp.maximum(
-            ovf_acc, (live & (jnp.abs(cur) > INT16_MAX)).astype(I32))
+        if check_ovf:
+            live = valid & (h <= tlens)
+            ovf_acc = jnp.maximum(
+                ovf_acc, (live & (jnp.abs(cur) > INT16_MAX)).astype(I32))
 
-        # direction codes (priority D -> I -> diag/X; nw_xla parity)
-        cur_s = sl1(cur, INF)
-        del_eq = cur == cur_s + gd
-        ins_eq = cur == sr1(prev, INF) + gi
-        x_eq = cur == prev + x
-        code = jnp.where(del_eq, C_D,
-                         jnp.where(ins_eq, C_I, jnp.where(x_eq, C_X, C_M)))
-        code = jnp.where(valid, code, C_M)   # non-D outside valid cells
-        if cfg.backtrace:  # codes only feed the traceback
-            # 4 rows of 2-bit codes share one byte plane (VMEM-fit for
-            # long reads); the first row landing in a byte writes fresh.
-            q = h >> 2
-            shq = 2 * (h & 3)
-            old = bits_ref[q].astype(I32) & 0xFF
-            fresh = ((h & 3) == 0) | (h == 1)
-            newb = jnp.where(fresh, code << shq, old | (code << shq))
-            bits_ref[q] = newb.astype(jnp.int8)
+        if cfg.backtrace:
+            # direction codes (priority D -> I -> diag/X; nw_xla parity).
+            # Dead lanes read INF and can never satisfy an equality (all
+            # costs > 0), so they fall through to C_M — safe for the
+            # D-run scan, which must see non-D outside the band.
+            del_eq = cur == sl1(cur, INF) + gd
+            ins_eq = cur == insv
+            x_eq = cur == prev + x
+            code = jnp.where(del_eq, C_D,
+                             jnp.where(ins_eq, C_I,
+                                       jnp.where(x_eq, C_X, C_M)))
 
-        # the end cell lands at one lane per pair; collected at the end
-        hit = (h == tlens) & (b_iota == kend + C) & in_band
+            # pack 16 codes per i32 (ascending by row), 1 is-match bit
+            # per row DESCENDING within each 32-row word (so a downward
+            # match-run scan becomes a ctz on the inverted shifted word)
+            shc = 2 * ((h - 1) & 15)
+            cacc = jnp.where((h & 15) == 1, code << shc,
+                             cacc | (code << shc))
+            ismb = (code == C_M).astype(I32)
+            shi = 31 - ((h - 1) & 31)
+            iacc = jnp.where((h & 31) == 1, ismb << shi,
+                             iacc | (ismb << shi))
+
+            @pl.when(((h & 15) == 0) | (h == hmax))
+            def _():
+                cbits_ref[(h - 1) >> 4] = cacc
+
+            @pl.when(((h & 31) == 0) | (h == hmax))
+            def _():
+                ism_ref[(h - 1) >> 5] = iacc
+
+        hit = hitmask & (h == tlens)
         score_acc = jnp.where(hit, cur, score_acc)
+        return cur, score_acc, ovf_acc, cacc, iacc
 
-        patws2 = [pltpu.roll(w, Rpw - 1, 1) for w in patws]
-        txtws2 = [pltpu.roll(w, Rpw - 1, 1) for w in txtws]
-        return cur, patws2, txtws2, score_acc, ovf_acc
-
-    score0 = jnp.zeros((P, 128), I32)
-    ovf0 = jnp.zeros((P, 128), I32)
-    _, _, _, score_acc, ovf_acc = jax.lax.fori_loop(
-        0, R, fwd_body, (row0, patws0, txtws0, score0, ovf0))
+    zero = jnp.zeros((P, 128), I32)
+    _, score_acc, ovf_acc, _, _ = jax.lax.fori_loop(
+        0, hmax, fwd_body, (row0, zero, zero, zero, zero))
     # broadcast per-pair results to every lane of the pair's segment
     score = group_reduce_sum(score_acc, b_iota, L)
     overflow = group_reduce_max(ovf_acc, b_iota, L) > 0
@@ -222,43 +283,39 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # ---- band-exactness conditions -> needs_fallback flag ----
     dmax = score // (gi + gd)
     bad_band = (jnp.abs(kend) + dmax + 1) > C
-    # Aliased chain-induction validity: the closed-form column 0 (h*gi)
-    # equals the flat-tape chain only while the chain's insertion term
-    # dominates at (h, plen), i.e. h*gi <= (plen-h)*gd for every row h in
-    # the influence region Hs (column 0 can affect walk-visited cells up
-    # to h ~ C + dmax).
+    # Aliased chain-induction validity (see col0 above): h*gi must stay
+    # dominant for every row h in the influence region Hs.
     hs = C + dmax + 3
     bad_alias = aliased & (hs * gi > (plens - hs) * gd)
-    flag = multi_alias | bad_band | bad_alias | overflow
+    # truncated deletion scan: exact only while no walk-visited chain is
+    # deeper than DS (each link costs gd)
+    bad_chain = (score // gd) > DS
+    flag = multi_alias | bad_band | bad_alias | overflow | bad_chain
     flag = flag | (plens > tlens + C) | (tlens > plens + C)
 
     # ======================= on-device traceback =======================
-    # Per-pair walk state is group-broadcast (every lane of a pair's
-    # segment holds the same value); reads of the shared code row at a
-    # per-pair position are one-hot selects + a segment all-reduce.
+    # Event-driven walk: per iteration every active pair consumes one
+    # D-run plus one row-exit event (I, X, or a whole M-run).  Per-pair
+    # reads of the shared code/is-match words use select ladders over the
+    # word planes plus one within-vreg lane gather.
 
     def seg_at(arr, pos):
         """arr value at group-local band position pos, broadcast to the
-        whole segment — one within-vreg lane gather (Mosaic supports
-        take_along_axis at exactly 128 lanes) instead of a one-hot select
-        plus a log-L group all-reduce.  Out-of-range pos is clipped; every
-        caller masks such lanes."""
+        whole segment (Mosaic take_along_axis at exactly 128 lanes).
+        Out-of-range pos is clipped; every caller masks such lanes."""
         idx = g_iota * L + jnp.clip(pos, 0, L - 1)
         return jnp.take_along_axis(arr, idx, axis=1)
 
     def emit_merge(st, mask, op, length):
         """Append/merge a run.  The top-of-stack run lives in registers
-        (top_op/top_len, group-broadcast) — re-reading it from the runs
-        plane cost a one-hot + group-reduce per emit, which dominated
-        the walk.  The plane only receives a run when the NEXT one is
-        pushed (plus a final flush after the loop)."""
+        (top_op/top_len, group-broadcast); the plane only receives a run
+        when the NEXT one is pushed (plus a final flush)."""
         runs, rc, top_op, top_len = st
         do = mask & (length > 0)
         can = do & (top_len > 0) & (top_op == op) \
             & (top_len + length <= 4095) & (rc < NRL - 1)
         top_len = jnp.where(can, top_len + length, top_len)
         push = do & ~can
-        # flush the previous top into its plane slot (rc+1)
         val_old = (top_op << 12) | top_len
         runs = jnp.where((b_iota == rc + 1) & push & (top_len > 0)
                          & (rc + 1 >= 2) & (rc + 1 <= NRL - 1),
@@ -278,48 +335,71 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         return runs, rc
 
     if cfg.backtrace:
-        hcur = tlens
-        vcur = plens
-        runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 128), NRL - 1, I32)
-        top0 = jnp.zeros((P, 128), I32)
+        def ladder(ref, nq, qvec):
+            out = jnp.zeros((P, 128), I32)
+            for q in range(nq):
+                out = jnp.where(qvec == q, ref[q], out)
+            return out
 
-        def bt_body(i, st):
-            hcur, vcur, runs, rc, top_op, top_len = st
-            h = R - i
-            act = (hcur == h) & (hcur > 0) & (vcur > 0)
-            cr = (bits_ref[h >> 2].astype(I32) >> (2 * (h & 3))) & 3
-            # run of consecutive D codes ending at each band position:
-            # pm[b] = last b' <= b (same group) with code != D.
-            nd = jnp.where(cr != C_D, b_iota, -1)
+        def bt_cond(st):
+            it, hcur, vcur = st[0], st[1], st[2]
+            return (it < 2 * R + 2) & \
+                (jnp.max(((hcur > 0) & (vcur > 0)).astype(I32)) > 0)
+
+        def bt_body(st):
+            it, hcur, vcur, runs, rc, top_op, top_len = st
+            act = (hcur > 0) & (vcur > 0)
+            hm1 = jnp.maximum(hcur - 1, 0)
+            # this pair's code row (16 codes per word)
+            crow = (ladder(cbits_ref, Q16, hm1 >> 4)
+                    >> (2 * (hm1 & 15))) & 3
+            # D-run: pm[b] = last band position <= b whose code != D
+            nd = jnp.where(crow != C_D, b_iota, -1)
             pm = nd
-            for s_ in log_shifts(L):
+            s_ = 1
+            while s_ <= DS:
                 rolled = pltpu.roll(pm, s_, 1)
                 pm = jnp.maximum(pm, jnp.where(b_iota >= s_, rolled, -1))
-            b = vcur - h + C
+                s_ *= 2
+            b = vcur - hcur + C
             pm_b = seg_at(pm, b)
-            dlen = jnp.where(act, b - pm_b, 0)
-            dlen = jnp.minimum(dlen, vcur)         # never walk past v=0
+            dlen = jnp.where(act, jnp.minimum(b - pm_b, vcur), 0)
             st2 = emit_merge((runs, rc, top_op, top_len), act, OP_D, dlen)
             vcur = vcur - dlen
-            # one row-exit step (I or diag) if still in the main loop
             act2 = act & (vcur > 0)
-            b2 = vcur - h + C
-            code2 = seg_at(cr, b2)
+            b2 = vcur - hcur + C
+            code2 = seg_at(crow, b2)
             is_i = act2 & (code2 == C_I)
-            is_m = act2 & (code2 == C_M)
             is_x = act2 & (code2 == C_X)
+            is_m = act2 & (code2 == C_M)
+            # match-run length: consecutive M codes down from hcur at the
+            # (constant) band position b2, read from the descending-packed
+            # is-match word; runs crossing the 32-row word boundary simply
+            # continue (and merge) next iteration
+            pos = hm1 & 31
+            iw = seg_at(ladder(ism_ref, W32, hm1 >> 5), b2)
+            u = (~(iw >> (31 - pos))) & \
+                jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
+            mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
+            mrun = jnp.where(is_m,
+                             jnp.minimum(mrun, jnp.minimum(vcur, hcur)), 0)
             one = jnp.ones((P, 128), I32)
             op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
+            length = jnp.where(is_m, mrun, one)
             runs, rc, top_op, top_len = emit_merge(
-                st2, is_i | is_m | is_x, op_sel, one)
-            hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
-            vcur = vcur - jnp.where(is_m | is_x, 1, 0)
-            return hcur, vcur, runs, rc, top_op, top_len
+                st2, is_i | is_m | is_x, op_sel, length)
+            hcur = hcur - jnp.where(is_i | is_x, 1, mrun)
+            vcur = vcur - jnp.where(is_x, 1, mrun)
+            return (it + 1, hcur, vcur, runs, rc, top_op, top_len)
 
-        hcur, vcur, runs, rc, top_op, top_len = jax.lax.fori_loop(
-            0, R, bt_body, (hcur, vcur, runs, rc, top0, top0))
-        # tails (ref: nw.c:100-106): I x h, then D x v (only one nonzero)
+        runs0 = jnp.zeros((P, 128), I32)
+        rc0 = jnp.full((P, 128), NRL - 1, I32)
+        it_end, hcur, vcur, runs, rc, top_op, top_len = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (jnp.int32(0), tlens, plens, runs0, rc0, zero, zero))
+        # tails (ref: nw.c:100-106): I x h, then D x v (only one nonzero
+        # for unflagged pairs; the iteration cap marks stragglers)
+        flag = flag | ((hcur > 0) & (vcur > 0))
         st2 = emit_merge((runs, rc, top_op, top_len), hcur > 0, OP_I, hcur)
         st2 = emit_merge(st2, vcur > 0, OP_D, vcur)
         runs, rc = emit_flush(st2)
@@ -338,6 +418,33 @@ def _nw_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
             jax.lax.slice_in_dim(seg, 0, NRL, axis=1).astype(I16)
 
 
+def _mismatch_bitplanes(pats, txts, R, C, L, G, P, T):
+    """XLA prologue: banded mismatch bitplanes for the grouped layout.
+
+    Returns [T, W32, P, 128] i32 where bit j of word w at (row r, lane
+    g*L + b) = (pat[b-C+h-1] != txt[h-1]) for pair (t, g*P + r) at
+    h = 32*w + j + 1.  Pure static slices + shifts — XLA fuses this into
+    the upload epilogue; the kernel then reads ONE word per row."""
+    n = pats.shape[0]
+    B = 2 * C + 1
+    W32 = (R + 31) // 32
+    if pats.shape[1] < R:
+        pats = jnp.pad(pats, ((0, 0), (0, R - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, R - txts.shape[1])))
+    # pattern index for cell (h, b) is b - C + h - 1; with a C-wide left
+    # pad, column b + h - 1 of patp reads exactly that (OOB -> -1)
+    patp = jnp.pad(pats.astype(I32), ((0, 0), (C, B)),
+                   constant_values=-1)
+    txtc = txts.astype(I32)[:, :R]
+    cols = [(patp[:, b:b + R] != txtc) for b in range(B)]
+    mm = jnp.stack(cols, axis=2)                     # [n, R, B]
+    mm = jnp.pad(mm, ((0, 0), (0, W32 * 32 - R), (0, L - B)))
+    mm = mm.astype(I32).reshape(n, W32, 32, L)
+    mm = (mm << jnp.arange(32, dtype=I32)[None, None, :, None]).sum(axis=2)
+    mm = mm.reshape(T, G, P, W32, L).transpose(0, 3, 2, 1, 4)
+    return mm.reshape(T, W32, P, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
 def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                       interpret: bool = False, packed: bool = False):
@@ -353,11 +460,17 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     R = cfg.read_size
     n = pats.shape[0]
     C = band_half(cfg)
-    Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
     L, G = group_geom(cfg)
     PT = P * G          # pairs per tile (G pairs share each lane row)
+    W32 = (R + 31) // 32
+    Q16 = (R + 15) // 16
+    DS = (1 << scan_rounds(cfg, cfg.gap_d)) - 1
+    # int16-wrap fidelity (NW_W16): no cell can exceed (2R+2)*maxcost,
+    # so the per-row check is elided when that bound fits int16
+    check_ovf = (2 * R + 2) * max(cfg.gap_i, cfg.gap_d, cfg.mismatch) \
+        > INT16_MAX
 
     if packed:
         shifts = jnp.arange(4, dtype=jnp.uint8) * 2
@@ -372,17 +485,18 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         plens = jnp.pad(plens, (0, padn))
         tlens = jnp.pad(tlens, (0, padn))
         n += padn
-    if pats.shape[1] < Rp:
-        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
-        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
 
-    kernel = functools.partial(_nw_kernel, cfg, P, Rp, NRL, C, L, G)
+    T = n // PT
+    mm = _mismatch_bitplanes(pats, txts, R, C, L, G, P, T)
+
+    kernel = functools.partial(_nw_kernel, cfg, P, NRL, C, L, G,
+                               W32, Q16, DS, check_ovf)
     runs = pl.pallas_call(
         kernel,
-        grid=(n // PT,),
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, W32, P, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -390,22 +504,23 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            # direction codes, 4 rows of 2-bit codes per byte (a dummy
-            # single plane in score-only mode — never written)
-            pltpu.VMEM(((R // 4 + 1) if cfg.backtrace else 1, P, 128),
-                       jnp.int8),
+            # direction codes (16 per word) and descending is-match bits;
+            # dummy single planes in score-only mode — never written
+            pltpu.VMEM((Q16 if cfg.backtrace else 1, P, 128), I32),
+            pltpu.VMEM((W32 if cfg.backtrace else 1, P, 128), I32),
         ],
         interpret=interpret,
-    )(pats, txts, plens.astype(I32).reshape(n, 1),
-      tlens.astype(I32).reshape(n, 1))
+    )(mm, plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1))
     return {"packed_runs": runs[:n_orig]}
 
 
 def vmem_fit_nw(cfg: AlignConfig) -> bool:
-    """The codes plane ((R//4+1) x 128 x 128 i8, 4 rows per byte) is the
-    dominant scratch; 2x slack for block buffers + the kernel body's
+    """Codes (16/word) + is-match (32/word) + mismatch bitplanes are the
+    dominant VMEM users; 2 MB slack for block buffers + the kernel body's
     spill stack.  Covers the reference's long-read tier (NW-MRAM default
     READ_SIZE 1120, ref: NW/DPU-MRAM/common/common.h:84)."""
-    bits = (cfg.read_size // 4 + 1) * 128 * 128
-    return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
-            and cfg.read_size <= 2047 and band_half(cfg) >= 2)
+    R = cfg.read_size
+    plane = 128 * 128 * 4
+    need = ((R + 15) // 16 + 2 * ((R + 31) // 32)) * plane
+    return (need + 4 * 1024 * 1024 < 16 * 1024 * 1024
+            and R <= 2047 and band_half(cfg) >= 2)

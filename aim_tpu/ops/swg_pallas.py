@@ -8,13 +8,23 @@ scan because D[v] = min(c[v-1]+GO+GE, D[v-1]+GE) with c[v] = min(diag+sub,
 I[v]) (same linearization as ops/swg_xla.py; ref recurrence:
 SWG/DPU-WRAM/dpu/swg.c:146-163).
 
+Round-3 rework (shared with ops/nw_pallas.py, VERDICT item 2):
+  * substitution costs come from precomputed banded mismatch bitplanes
+    (XLA prologue) — no per-row sequence gathers or window rolls;
+  * the D-chain min-plus scan is truncated to the score-derived depth DS
+    (each link costs GAP_E; pairs with score//GAP_E > DS are flagged);
+  * direction codes accumulate in registers, 8 4-bit codes per i32 word;
+  * the per-row cell-range check is elided at trace time when the config
+    provably cannot wrap (int8: swg_int8_sound admission proof; int16:
+    static bound), leaving the boundary bad_wrap flag;
+  * the traceback is EVENT-driven: a while loop where each iteration
+    consumes one walk event per pair (an I step, a D-run, an X, or a
+    whole M-run skipped via the descending-packed is-match bitplane).
+
 Direction bits per cell (same encoding as ops/swg_xla.py / the native
 walker): bits0..1 M-choice (0 enter-D, 1 enter-I, 2 'M', 3 'X'; priority
 D -> I -> match -> mismatch, ref swg.c:79-98), bit2 D-opened, bit3
-I-opened.  They stay in VMEM and are walked ON DEVICE by a descending row
-sweep: the I layer crosses one row per sweep step; D runs resolve within
-a row (a small score-bounded unroll handles M->D->M chains); M-run
-merging keeps the packed record small.
+I-opened.
 
 Banding exactness (flagged to the host oracle otherwise):
   * excursion d beyond the [min(0,kend), max(0,kend)] corridor costs
@@ -42,8 +52,7 @@ Banding exactness (flagged to the host oracle otherwise):
     validation forces m <= 0 and the Pallas gate m >= 0).  Lower bound 0
     since all costs are non-negative.  Configs beyond the bound keep the
     reference's genuine wrap semantics via the full-width XLA tier, whose
-    wrap flags see every cell.  The in-band range flag below remains as a
-    belt-and-braces guard.
+    wrap flags see every cell.
 """
 
 from __future__ import annotations
@@ -56,9 +65,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.band import (band_ops, group_reduce_max, group_reduce_sum,
-                              log_shifts, round_up)
-from aim_tpu.ops.nw_pallas import band_half, group_geom, runs_lanes_nw
+from aim_tpu.ops.band import group_reduce_max, group_reduce_sum, round_up
+from aim_tpu.ops.nw_pallas import (_ctz32, _mismatch_bitplanes, band_half,
+                                   group_geom, runs_lanes_nw, scan_rounds)
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -69,10 +78,10 @@ CH_D, CH_I, CH_M, CH_X = 0, 1, 2, 3
 L_M, L_I, L_D = 0, 1, 2
 
 
-def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
-                L: int, G: int,
-                pats_ref, txts_ref, plens_ref, tlens_ref,
-                runs_ref, bits_ref):
+def _swg_kernel(cfg: AlignConfig, P: int, NRL: int, C: int, L: int, G: int,
+                W32: int, Q8: int, DS: int, check_ovf: bool,
+                mm_ref, plens_ref, tlens_ref,
+                runs_ref, cbits_ref, ism_ref):
     R = cfg.read_size
     mat, mis = cfg.match, cfg.mismatch
     go, ge = cfg.gap_o, cfg.gap_e
@@ -112,41 +121,27 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     i0 = jnp.where(r0_valid, i0, INF)
     m0 = jnp.where(r0_valid, m0, INF)
 
-    minplus, sl1, sr1 = band_ops(b_iota, B, ge, INF, L)
+    ramp = b_iota * ge
+    hitmask = (b_iota == kend + C) & in_band
 
-    Rpw = max(128, round_up(Rp, 128))
+    def sl1(w, fill):
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(b_iota >= 1, r, fill)
 
-    def windows(ref, shift):
-        ws = []
-        for g in range(G):
-            w = ref[g * P:(g + 1) * P, :].astype(I32)
-            w = jnp.pad(w, ((0, 0), (0, Rpw - Rp)), constant_values=-1)
-            ws.append(pltpu.roll(w, shift, 1) if shift else w)
-        return ws
+    def sr1(w, fill):
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(b_iota <= L - 2, r, fill)
 
-    patws0 = windows(pats_ref, C)
-    txtws0 = windows(txts_ref, 0)
-
-    def gather_groups(ws):
-        out = jnp.zeros((P, 128), I32)
-        for g in range(G):
-            wb = ws[g] if Rpw == 128 else \
-                jax.lax.slice_in_dim(ws[g], 0, 128, axis=1)
-            src = pltpu.roll(wb, g * L, 1) if g else wb
-            out = jnp.where(g_iota == g, src, out)
-        return out
+    # rows past the tile's longest text are dead — dynamic loop bound
+    hmax = jnp.minimum(jnp.max(tlens), R)
 
     def fwd_body(i, carry):
-        pm, pi, pd, patws, txtws, score_acc, ovf_acc = carry
+        pm, pi, pd, score_acc, ovf_acc, cacc, iacc = carry
         h = i + 1
-        patb = gather_groups(patws)
-        # text char of this row: lane 0 of each pair's rolled text window
-        tch = gather_groups([jnp.broadcast_to(
-            jax.lax.slice_in_dim(w, 0, 1, axis=1), (P, Rpw))
-            for w in txtws])
-        v = b_iota - C + h
+        sub = mat + ((mm_ref[(h - 1) >> 5] >> ((h - 1) & 31)) & 1) \
+            * (mis - mat)
+        v = b_iota + (h - C)
         valid = (v >= 1) & (v <= plens) & in_band
-        sub = jnp.where(patb == tch, mat, mis)
 
         # column-0 boundary triple.  Clean: M=I=GO+h*GE, D=MS.  Aliased
         # (plen == tlen+1): the flat-tape chain cell(h-1, plen) bootstraps
@@ -154,12 +149,13 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         # (go+h*ge, by induction — guarded by the alias flag below) while
         # its D plane is genuinely large -> INF.
         mb = go + h * ge
-        ib = mb
         db = jnp.where(aliased & (h >= 2), INF, ms)
 
-        i_cur = jnp.minimum(sr1(pm, INF) + go + ge, sr1(pi, INF) + ge)
+        srpm = sr1(pm, INF)
+        i_open_v = srpm + go + ge          # shared with the i_open bit
+        i_cur = jnp.minimum(i_open_v, sr1(pi, INF) + ge)
         i_cur = jnp.where(valid, i_cur, INF)
-        i_cur = jnp.where((v == 0) & in_band, ib, i_cur)
+        i_cur = jnp.where((v == 0) & in_band, mb, i_cur)
         c = jnp.minimum(pm + sub, i_cur)
         c = jnp.where(valid, c, INF)
         c_s = sl1(c, INF)
@@ -169,53 +165,67 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         z = jnp.where((v == 0) & in_band, db,
                       jnp.where(v == 1, m_left + go + ge, c_s + go + ge))
         z = jnp.where(valid | ((v == 0) & in_band), z, INF)
-        d_cur = minplus(z)
+        # truncated min-plus D chain (depth DS; flagged via score//ge)
+        mscan = z - ramp
+        s_ = 1
+        while s_ <= DS:
+            rolled = pltpu.roll(mscan, s_, 1)
+            mscan = jnp.minimum(mscan,
+                                jnp.where(b_iota >= s_, rolled, INF))
+            s_ *= 2
+        d_cur = mscan + ramp
         d_cur = jnp.where(valid | ((v == 0) & in_band), d_cur, INF)
         m_cur = jnp.minimum(c, d_cur)
         m_cur = jnp.where((v == 0) & in_band, mb, m_cur)
         m_cur = jnp.where(valid | ((v == 0) & in_band), m_cur, INF)
 
-        live = valid & (h <= tlens)
-        mx = jnp.maximum(jnp.abs(m_cur), jnp.maximum(jnp.abs(i_cur),
-                                                     jnp.abs(d_cur)))
-        # Band-edge cells legitimately carry INF (no in-band path for that
-        # plane); real DP values are < R*max-cost << INF//2, so only
-        # values below that are genuine wrap risks.
-        ovf_acc = jnp.maximum(
-            ovf_acc,
-            (live & (mx > cmax - margin) & (mx < INF // 2)).astype(I32))
+        if check_ovf:
+            live = valid & (h <= tlens)
+            mx = jnp.maximum(jnp.abs(m_cur), jnp.maximum(jnp.abs(i_cur),
+                                                         jnp.abs(d_cur)))
+            # Band-edge cells legitimately carry INF (no in-band path for
+            # that plane); real DP values are < R*max-cost << INF//2, so
+            # only values below that are genuine wrap risks.
+            ovf_acc = jnp.maximum(
+                ovf_acc,
+                (live & (mx > cmax - margin) & (mx < INF // 2)).astype(I32))
 
-        # direction bits (ops/swg_xla.py parity)
-        m_cur_s = sl1(m_cur, INF)
-        choice = jnp.where(m_cur == d_cur, CH_D,
-                           jnp.where(m_cur == i_cur, CH_I,
-                                     jnp.where(m_cur == pm + mat, CH_M,
-                                               CH_X)))
-        d_open = (d_cur == m_cur_s + go + ge).astype(I32)
-        i_open = (i_cur == sr1(pm, INF) + go + ge).astype(I32)
-        code = jnp.where(valid, choice | (d_open << 2) | (i_open << 3),
-                         CH_M)
-        if cfg.backtrace:  # codes only feed the traceback
-            # 2 rows of 4-bit codes share one byte plane (VMEM-fit for long
-            # reads); the first row landing in a byte writes it fresh.
-            q = h >> 1
-            shq = 4 * (h & 1)
-            old = bits_ref[q].astype(I32) & 0xFF
-            fresh = ((h & 1) == 0) | (h == 1)
-            newb = jnp.where(fresh, code << shq, old | (code << shq))
-            bits_ref[q] = newb.astype(jnp.int8)
+        if cfg.backtrace:
+            # direction bits (ops/swg_xla.py parity)
+            m_cur_s = sl1(m_cur, INF)
+            choice = jnp.where(m_cur == d_cur, CH_D,
+                               jnp.where(m_cur == i_cur, CH_I,
+                                         jnp.where(m_cur == pm + mat, CH_M,
+                                                   CH_X)))
+            d_open = (d_cur == m_cur_s + go + ge).astype(I32)
+            i_open = (i_cur == i_open_v).astype(I32)
+            code = jnp.where(valid, choice | (d_open << 2) | (i_open << 3),
+                             CH_M)
+            # 8 4-bit codes per i32 word; is-match bits packed DESCENDING
+            # per 32-row word (downward M-run scan = ctz, nw_pallas.py)
+            shc = 4 * ((h - 1) & 7)
+            cacc = jnp.where((h & 7) == 1, code << shc,
+                             cacc | (code << shc))
+            ismb = (valid & (choice == CH_M)).astype(I32)
+            shi = 31 - ((h - 1) & 31)
+            iacc = jnp.where((h & 31) == 1, ismb << shi,
+                             iacc | (ismb << shi))
 
-        hit = (h == tlens) & (b_iota == kend + C) & in_band
+            @pl.when(((h & 7) == 0) | (h == hmax))
+            def _():
+                cbits_ref[(h - 1) >> 3] = cacc
+
+            @pl.when(((h & 31) == 0) | (h == hmax))
+            def _():
+                ism_ref[(h - 1) >> 5] = iacc
+
+        hit = hitmask & (h == tlens)
         score_acc = jnp.where(hit, m_cur, score_acc)
+        return m_cur, i_cur, d_cur, score_acc, ovf_acc, cacc, iacc
 
-        patws2 = [pltpu.roll(w, Rpw - 1, 1) for w in patws]
-        txtws2 = [pltpu.roll(w, Rpw - 1, 1) for w in txtws]
-        return m_cur, i_cur, d_cur, patws2, txtws2, score_acc, ovf_acc
-
-    score0 = jnp.zeros((P, 128), I32)
-    ovf0 = jnp.zeros((P, 128), I32)
-    _, _, _, _, _, score_acc, ovf_acc = jax.lax.fori_loop(
-        0, R, fwd_body, (m0, i0, d0, patws0, txtws0, score0, ovf0))
+    zero = jnp.zeros((P, 128), I32)
+    _, _, _, score_acc, ovf_acc, _, _ = jax.lax.fori_loop(
+        0, hmax, fwd_body, (m0, i0, d0, zero, zero, zero, zero))
     score = group_reduce_sum(score_acc, b_iota, L)
     overflow = group_reduce_max(ovf_acc, b_iota, L) > 0
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
@@ -242,27 +252,22 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
     # even when no interior value approaches the cell range.
     bad_wrap = ((go + jnp.maximum(plens, tlens) * ge + margin) > cmax) \
         | (ms + margin > cmax)
+    # truncated D scan: exact only while no walk-visited chain is deeper
+    # than DS (each link costs GE)
+    bad_chain = (score // ge) > DS
     flag = (multi_alias | bad_band | bad_sentinel | bad_alias | overflow
-            | bad_wrap | (plens > tlens + C) | (tlens > plens + C)
-            | (score < 0))
+            | bad_wrap | bad_chain | (plens > tlens + C)
+            | (tlens > plens + C) | (score < 0))
 
     # ======================= on-device traceback =======================
-    # Per-pair walk state is group-broadcast; reads of the shared code
-    # row at per-pair positions are one-hot selects + segment all-reduces.
+    # Event-driven walk (see ops/nw_pallas.py): one event per active pair
+    # per iteration — an I step, a D-run, an X, or a whole M-run.
 
     def seg_at(arr, pos):
-        """arr value at group-local band position pos, broadcast to the
-        whole segment — one within-vreg lane gather (Mosaic supports
-        take_along_axis at exactly 128 lanes) instead of a one-hot select
-        plus a log-L group all-reduce.  Out-of-range pos is clipped; every
-        caller masks such lanes."""
         idx = g_iota * L + jnp.clip(pos, 0, L - 1)
         return jnp.take_along_axis(arr, idx, axis=1)
 
     def emit_merge(st, mask, op, length):
-        """Append/merge a run; the top-of-stack run lives in registers
-        (see ops/nw_pallas.py emit_merge — plane re-reads per emit
-        dominated the walk)."""
         runs, rc, top_op, top_len = st
         do = mask & (length > 0)
         can = do & (top_len > 0) & (top_op == op) \
@@ -286,87 +291,95 @@ def _swg_kernel(cfg: AlignConfig, P: int, Rp: int, NRL: int, C: int,
         return runs, rc
 
     if cfg.backtrace:
-        hcur = tlens
-        vcur = plens
-        layer = jnp.zeros((P, 128), I32)    # start in M (ref swg.c:52)
-        runs = jnp.zeros((P, 128), I32)
-        rc = jnp.full((P, 128), NRL - 1, I32)
+        def ladder(ref, nq, qvec):
+            out = jnp.zeros((P, 128), I32)
+            for q in range(nq):
+                out = jnp.where(qvec == q, ref[q], out)
+            return out
 
-        def bt_body(i, st):
-            hcur, vcur, layer, runs, rc, top_op, top_len, unfinished = st
-            h = R - i
-            act = (hcur == h) & (hcur > 0) & (vcur > 0)
-            cr = (bits_ref[h >> 1].astype(I32) >> (4 * (h & 1))) & 0xF
-            choice = cr & 3
-            dopen = (cr >> 2) & 1
-            iopen = (cr >> 3) & 1
-            # prefix: last b' <= b (same group) with d_open == 1 (D-runs
-            # stop AT the first opened D, inclusive).
-            pmd = jnp.where(dopen == 1, b_iota, -1)
-            for s_ in log_shifts(L):
-                rolled = pltpu.roll(pmd, s_, 1)
-                pmd = jnp.maximum(pmd, jnp.where(b_iota >= s_, rolled, -1))
+        def bt_cond(st):
+            it, hcur, vcur = st[0], st[1], st[2]
+            return (it < 3 * R + 4) & \
+                (jnp.max(((hcur > 0) & (vcur > 0)).astype(I32)) > 0)
 
-            # I-layer arrival: one 'I' per sweep row (ref swg.c:66-72).
-            in_i = act & (layer == L_I)
+        def bt_body(st):
+            it, hcur, vcur, layer, runs, rc, top_op, top_len = st
+            act = (hcur > 0) & (vcur > 0)
+            hm1 = jnp.maximum(hcur - 1, 0)
+            crow = (ladder(cbits_ref, Q8, hm1 >> 3)
+                    >> (4 * (hm1 & 7))) & 0xF
+            choice = crow & 3
+            dopen = (crow >> 2) & 1
+            iopen = (crow >> 3) & 1
+            b = vcur - hcur + C
             one = jnp.ones((P, 128), I32)
+
+            # I-layer: one 'I' per row (ref swg.c:66-72); iopen at the
+            # arrival cell returns the walk to M
+            in_i = act & (layer == L_I)
             runs, rc, top_op, top_len = emit_merge(
                 (runs, rc, top_op, top_len), in_i, OP_I, one)
-            b_i = vcur - h + C
-            io_here = seg_at(iopen, b_i)
+            io_here = seg_at(iopen, b)
             layer = jnp.where(in_i & (io_here == 1), L_M, layer)
-            hcur = hcur - jnp.where(in_i, 1, 0)
 
-            # M-phase (may chain M -> D-run -> M within the row).  A
-            # fixed unroll instead of a while_loop (data-dependent loops
-            # fault this target); every chain link beyond the first costs
-            # >= GO+GE of score, so 1 + MAX_SCORE//(GO+GE) links (capped
-            # at 4) cover everything unflagged — a pair still pending
-            # after that is flagged to the fallback path.
-            # (A pair whose I-arrival step just returned it to M has moved
-            # to row h-1 — it must NOT run this row's M-phase.)
-            pending = act & (layer == L_M) & ~in_i
-            for _ in range(min(4, 1 + ms // (go + ge))):
-                pend = pending
-                b = vcur - h + C
-                ch = seg_at(choice, b)
-                is_d = pend & (ch == CH_D)
-                pmd_b = seg_at(pmd, b)
-                dlen = jnp.where(is_d, b - pmd_b + 1, 0)
-                capped = is_d & (dlen >= vcur)
-                dlen = jnp.minimum(dlen, vcur)
-                runs, rc, top_op, top_len = emit_merge(
-                    (runs, rc, top_op, top_len), is_d, OP_D, dlen)
-                vcur = vcur - dlen
-                layer = jnp.where(capped, L_D, layer)   # exits via v==0
-                # non-D exits: one merged emit with a per-pair op code
-                is_i = pend & (ch == CH_I)
-                is_m = pend & (ch == CH_M)
-                is_x = pend & (ch == CH_X)
-                op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
-                runs, rc, top_op, top_len = emit_merge(
-                    (runs, rc, top_op, top_len), is_i | is_m | is_x,
-                    op_sel, one)
-                io_h = seg_at(iopen, b)
-                layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I),
-                                  layer)
-                hcur = hcur - jnp.where(is_i | is_m | is_x, 1, 0)
-                vcur = vcur - jnp.where(is_m | is_x, 1, 0)
-                pending = is_d & ~capped & (vcur > 0)
-            unfinished = jnp.maximum(unfinished, pending.astype(I32))
-            return (hcur, vcur, layer, runs, rc, top_op, top_len,
-                    unfinished)
+            # M-layer: one chain link per iteration (a D-run returns to M
+            # at the same row; the next iteration continues the chain).
+            # A pair whose I-arrival just returned it to M has moved to
+            # row h-1 — it must NOT run this row's M-phase.
+            in_m = act & (layer == L_M) & ~in_i
+            ch = seg_at(choice, b)
+            is_d = in_m & (ch == CH_D)
+            # D-run: stops AT the first opened D (inclusive)
+            pmd = jnp.where(dopen == 1, b_iota, -1)
+            s_ = 1
+            while s_ <= DS:
+                rolled = pltpu.roll(pmd, s_, 1)
+                pmd = jnp.maximum(pmd, jnp.where(b_iota >= s_, rolled, -1))
+                s_ *= 2
+            pmd_b = seg_at(pmd, b)
+            dlen = jnp.where(is_d, b - pmd_b + 1, 0)
+            capped = is_d & (dlen >= vcur)
+            dlen = jnp.minimum(dlen, vcur)
+            runs, rc, top_op, top_len = emit_merge(
+                (runs, rc, top_op, top_len), is_d, OP_D, dlen)
+            layer = jnp.where(capped, L_D, layer)   # exits via v==0
 
-        zeros = jnp.zeros((P, 128), I32)
-        hcur, vcur, layer, runs, rc, top_op, top_len, unfinished = \
-            jax.lax.fori_loop(
-                0, R, bt_body,
-                (hcur, vcur, layer, runs, rc, zeros, zeros, zeros))
-        # tails (ref swg.c:111-117): I x h, then D x v.
+            is_i = in_m & (ch == CH_I)
+            is_x = in_m & (ch == CH_X)
+            is_m = in_m & (ch == CH_M)
+            # M-run skip (nw_pallas.py): consecutive CH_M down from hcur
+            # at the constant band position b
+            pos = hm1 & 31
+            iw = seg_at(ladder(ism_ref, W32, hm1 >> 5), b)
+            u = (~(iw >> (31 - pos))) & \
+                jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
+            mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
+            mrun = jnp.where(is_m,
+                             jnp.minimum(mrun, jnp.minimum(vcur, hcur)), 0)
+            op_sel = jnp.where(is_i, OP_I, jnp.where(is_m, OP_M, OP_X))
+            length = jnp.where(is_m, mrun, one)
+            runs, rc, top_op, top_len = emit_merge(
+                (runs, rc, top_op, top_len), is_i | is_m | is_x,
+                op_sel, length)
+            io_h = seg_at(iopen, b)
+            layer = jnp.where(is_i, jnp.where(io_h == 1, L_M, L_I), layer)
+            hcur = hcur - jnp.where(in_i | is_i | is_x, 1, mrun)
+            vcur = vcur - jnp.where(is_x, 1, dlen + mrun)
+            return (it + 1, hcur, vcur, layer, runs, rc, top_op, top_len)
+
+        runs0 = jnp.zeros((P, 128), I32)
+        rc0 = jnp.full((P, 128), NRL - 1, I32)
+        it_end, hcur, vcur, layer, runs, rc, top_op, top_len = \
+            jax.lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.int32(0), tlens, plens, zero, runs0, rc0, zero, zero))
+        # tails (ref swg.c:111-117): I x h, then D x v; the iteration cap
+        # marks stragglers
+        flag = flag | ((hcur > 0) & (vcur > 0))
         st2 = emit_merge((runs, rc, top_op, top_len), hcur > 0, OP_I, hcur)
         st2 = emit_merge(st2, vcur > 0, OP_D, vcur)
         runs, rc = emit_flush(st2)
-        flag = flag | (rc < 1) | (unfinished > 0)
+        flag = flag | (rc < 1)
     else:
         runs = jnp.zeros((P, 128), I32)
         rc = jnp.full((P, 128), NRL - 1, I32)
@@ -392,11 +405,22 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     R = cfg.read_size
     n = pats.shape[0]
     C = band_half(cfg)
-    Rp = round_up(R + 2, 8)
     NRL = runs_lanes_nw(cfg)
     P = 128
     L, G = group_geom(cfg)
     PT = P * G
+    W32 = (R + 31) // 32
+    Q8 = (R + 7) // 8
+    DS = (1 << scan_rounds(cfg, cfg.gap_e)) - 1
+    # cell-range fidelity: int8 admission already PROVES no wrap
+    # (swg_int8_sound); for int16 cells the static bound elides the
+    # per-row check the same way ops/nw_pallas.py does
+    cmax = 127 if cfg.cell_width == 1 else 32767
+    margin = cfg.gap_o + cfg.gap_e + max(cfg.mismatch, abs(cfg.match),
+                                         cfg.gap_e)
+    stored_max = max(cfg.max_score, cfg.gap_o) + R * cfg.gap_e
+    check_ovf = not (cfg.match >= 0
+                     and stored_max + margin <= cmax)
 
     if packed:
         shifts = jnp.arange(4, dtype=jnp.uint8) * 2
@@ -411,17 +435,18 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         plens = jnp.pad(plens, (0, padn))
         tlens = jnp.pad(tlens, (0, padn))
         n += padn
-    if pats.shape[1] < Rp:
-        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
-        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
 
-    kernel = functools.partial(_swg_kernel, cfg, P, Rp, NRL, C, L, G)
+    T = n // PT
+    mm = _mismatch_bitplanes(pats, txts, R, C, L, G, P, T)
+
+    kernel = functools.partial(_swg_kernel, cfg, P, NRL, C, L, G,
+                               W32, Q8, DS, check_ovf)
     runs = pl.pallas_call(
         kernel,
-        grid=(n // PT,),
+        grid=(T,),
         in_specs=[
-            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PT, Rp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, W32, P, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -429,14 +454,13 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, NRL), I16),
         scratch_shapes=[
-            # direction codes, 2 rows of 4-bit codes per byte (a dummy
-            # single plane in score-only mode — never written)
-            pltpu.VMEM(((R // 2 + 1) if cfg.backtrace else 1, P, 128),
-                       jnp.int8),
+            # direction codes (8 per word) and descending is-match bits;
+            # dummy single planes in score-only mode — never written
+            pltpu.VMEM((Q8 if cfg.backtrace else 1, P, 128), I32),
+            pltpu.VMEM((W32 if cfg.backtrace else 1, P, 128), I32),
         ],
         interpret=interpret,
-    )(pats, txts, plens.astype(I32).reshape(n, 1),
-      tlens.astype(I32).reshape(n, 1))
+    )(mm, plens.astype(I32).reshape(n, 1), tlens.astype(I32).reshape(n, 1))
     return {"packed_runs": runs[:n_orig]}
 
 
@@ -457,8 +481,11 @@ def swg_int8_sound(cfg: AlignConfig) -> bool:
 
 
 def vmem_fit_swg(cfg: AlignConfig) -> bool:
-    """Covers the reference's long-read tier (SWG-MRAM default READ_SIZE
-    560, ref: SWG/*/common/common.h)."""
-    bits = (cfg.read_size // 2 + 1) * 128 * 128
-    return (2 * bits + 6 * 1024 * 1024 < 16 * 1024 * 1024
-            and cfg.read_size <= 2047 and band_half(cfg) >= 2)
+    """Codes (8/word) + is-match + mismatch bitplanes; covers the
+    reference's long-read tier (SWG-MRAM default READ_SIZE 560,
+    ref: SWG/*/common/common.h)."""
+    R = cfg.read_size
+    plane = 128 * 128 * 4
+    need = ((R + 7) // 8 + 2 * ((R + 31) // 32)) * plane
+    return (need + 4 * 1024 * 1024 < 16 * 1024 * 1024
+            and R <= 2047 and band_half(cfg) >= 2)

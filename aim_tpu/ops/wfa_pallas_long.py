@@ -53,6 +53,7 @@ NULL = -16384
 BIG = 2 ** 20
 
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+_ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
 WB = 14         # bases per packed word (28 bits < 2**28: relay-safe)
 MASK28 = (1 << 28) - 1
 
@@ -93,139 +94,176 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
 
     nullk = jnp.full((P, Kp), NULL, I16)
 
-    # ---------------- per-lane word gather ----------------
-    def gwords(seq_ref, q0, nwords, c_lo, c_hi, b_lo, b_hi):
-        """Fetch nwords planes: out[d][p, k] = seq[p, q0[p, k] + d] for
-        q0+d clamped to [0, Wp).  One pass over (k-chunk, word-block)
-        scalar-bounded skips serves ALL nwords offsets (the cond ladder
-        and index slicing dominated when issued per word).  Bounds come
-        from the live band and offset window — the analogue of the
-        reference's band-proportional MRAM traffic."""
-        cols = [[] for _ in range(nwords)]
-        for c in range(NC):
-            q0c = q0[:, 128 * c:128 * (c + 1)]
-            idx = [jnp.minimum(q0c + d, Wp - 1) for d in range(nwords)]
-            bsel = [ix >> 7 for ix in idx]
-            r = [ix & 127 for ix in idx]
-
-            def one_block(b, accs):
-                blkref = seq_ref[:, 128 * b:128 * (b + 1)]
-                return tuple(
-                    acc + jnp.where(bsel[d] == b,
-                                    jnp.take_along_axis(blkref, r[d],
-                                                        axis=1), 0)
-                    for d, acc in enumerate(accs))
-
-            def chunk(accs):
-                for b in range(NB):
-                    accs = jax.lax.cond(
-                        (b >= b_lo) & (b <= b_hi + (nwords + 127) // 128),
-                        functools.partial(one_block, b), lambda a: a, accs)
-                return accs
-
-            accs = tuple(jnp.zeros((P, 128), I32) for _ in range(nwords))
-            if NC > 1:
-                accs = jax.lax.cond((c >= c_lo) & (c <= c_hi), chunk,
-                                    lambda a: a, accs)
-            else:
-                accs = chunk(accs)
-            for d in range(nwords):
-                cols[d].append(accs[d])
-        if NC == 1:
-            return [cols[d][0] for d in range(nwords)]
-        return [jnp.concatenate(cols[d], axis=1) for d in range(nwords)]
-
     def ctz28(z):
         """Count trailing zeros of z in (0, 2^28); returns 28 for z == 0."""
         lsb = (z & (0 - z)).astype(F32)
         e = (jax.lax.bitcast_convert_type(lsb, I32) >> 23) - 127
         return jnp.where(z != 0, e, 28)
 
-    def extend(m, do_ext, kl, kh):
+    lio128 = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+
+    def gather_chunk(seq_ref, q0c, nwords, b_lo, b_hi):
+        """Per-lane word fetch for ONE k-chunk: out[d][p, j] =
+        seq[p, q0c[p, j] + d], offsets clamped to [0, Wp).  Word blocks
+        outside the scalar [b_lo, b_hi] window are skipped — the analogue
+        of the reference's band-proportional MRAM traffic."""
+        idx = [jnp.minimum(q0c + d, Wp - 1) for d in range(nwords)]
+        bsel = [ix >> 7 for ix in idx]
+        r = [ix & 127 for ix in idx]
+
+        def one_block(b, accs):
+            blkref = seq_ref[:, 128 * b:128 * (b + 1)]
+            return tuple(
+                acc + jnp.where(bsel[d] == b,
+                                jnp.take_along_axis(blkref, r[d], axis=1),
+                                0)
+                for d, acc in enumerate(accs))
+
+        accs = tuple(jnp.zeros((P, 128), I32) for _ in range(nwords))
+        for b in range(NB):
+            accs = jax.lax.cond((b >= b_lo) & (b <= b_hi),
+                                functools.partial(one_block, b),
+                                lambda a: a, accs)
+        return list(accs)
+
+    def _fun(w0, w1, sh):
+        return ((w0 >> sh)
+                | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
+
+    def _align_shifts(m, kv):
+        v = m - kv
+        mc = jnp.clip(m, 0, R + 1)
+        vc = jnp.clip(v, 0, R + 1)
+        qh = _div_wb(mc)
+        qv = _div_wb(vc)
+        return v, qh, qv, 2 * (mc - qh * WB), 2 * (vc - qv * WB)
+
+    CW = 8  # continuation window: CW words = 112 bases per round
+
+    def extend(m, act_nm, kl, kh):
         """First-mismatch extension of offsets m on each live diagonal
         (ref: wfa.c:193-215).  Probes 2*WB-base (28-base) windows;
-        continues while any lane matched a full window."""
-        # scalar k-chunk bounds from the union of live bands (per step)
-        kl_u = jnp.min(jnp.where(do_ext, jnp.broadcast_to(kl, (P, Kp)),
-                                 BIG))
-        kh_u = jnp.max(jnp.where(do_ext, jnp.broadcast_to(kh, (P, Kp)),
-                                 -BIG))
-        c_lo = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
-        c_hi = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
+        continues while any lane matched a full window.
 
-        def fun(w0, w1, sh):
-            return ((w0 >> sh)
-                    | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
+        ALL plane work runs per 128-lane k-chunk, gated on that chunk
+        having any live lane (round-3 restructure: the adaptive band is
+        typically 1-2 chunks of Kp/128, so full-width elementwise work
+        dominated the 10 kbp profile).  Chunks are static Python slices;
+        liveness gates are lax.cond on per-chunk occupancy scalars.
+        act_nm is the per-pair (P, 1) active & ~m_null mask; the per-lane
+        live mask is rebuilt per chunk from it — slicing masks composed
+        of broadcast iotas (sublane-replicated layouts) inside scf.while
+        SIGABRTs Mosaic's layout pass, so kv/do_c are chunk-local."""
 
-        def align_shifts(m):
-            v = m - kvec
-            mc = jnp.clip(m, 0, R + 1)
-            vc = jnp.clip(v, 0, R + 1)
-            qh = _div_wb(mc)
-            qv = _div_wb(vc)
-            return v, qh, qv, 2 * (mc - qh * WB), 2 * (vc - qv * WB)
+        def probe_chunk(mc, do_c, kv):
+            v, qh, qv, sh_h, sh_v = _align_shifts(mc, kv)
+            q_lo = jnp.min(jnp.where(do_c, jnp.minimum(qh, qv), BIG))
+            q_hi = jnp.max(jnp.where(do_c, jnp.maximum(qh, qv), -BIG)) + 2
+            b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
+            b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
+            tw0, tw1, tw2 = gather_chunk(txtw_ref, qh, 3, b_lo, b_hi)
+            pw0, pw1, pw2 = gather_chunk(patw_ref, qv, 3, b_lo, b_hi)
+            za = _fun(tw0, tw1, sh_h) ^ _fun(pw0, pw1, sh_v)
+            zb = _fun(tw1, tw2, sh_h) ^ _fun(pw1, pw2, sh_v)
+            jm = jnp.where(za != 0, ctz28(za) >> 1, WB + (ctz28(zb) >> 1))
+            lim_raw = jnp.minimum(plens - v, tlens - mc)
+            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 2 * WB))
+            m2 = jnp.where(do_c, mc + j, mc)
+            cont = do_c & (j == 2 * WB) & (lim_raw > 2 * WB)
+            return m2, cont.astype(I32), tw2, pw2
 
         # First probe: one 2*WB-base (28-base) window — most lanes stop
-        # inside it.  Returns the last fetched words so continuations can
+        # inside it.  The last fetched words are kept so continuations can
         # reuse them (a continuing lane advanced exactly two words).
-        v, qh, qv, sh_h, sh_v = align_shifts(m)
-        q_lo = jnp.min(jnp.where(do_ext, jnp.minimum(qh, qv), BIG))
-        q_hi = jnp.max(jnp.where(do_ext, jnp.maximum(qh, qv), -BIG)) + 2
-        b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
-        b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
+        mcs, conts, twls, pwls = [], [], [], []
+        for c in range(NC):
+            sel = slice(128 * c, 128 * (c + 1))
+            mc = m[:, sel]
+            kv = lio128 + (128 * c - smax)
+            do_c = act_nm & (kl <= kv) & (kv <= kh) \
+                & (mc >= 0) & (mc < R + 2)
+            if NC == 1:
+                out = probe_chunk(mc, do_c, kv)
+            else:
+                zero = jnp.zeros((P, 128), I32)
+                out = jax.lax.cond(
+                    jnp.max(do_c.astype(I32)) > 0,
+                    lambda mc=mc, do_c=do_c, kv=kv:
+                        probe_chunk(mc, do_c, kv),
+                    lambda mc=mc: (mc, zero, zero, zero))
+            mcs.append(out[0])
+            conts.append(out[1])
+            twls.append(out[2])
+            pwls.append(out[3])
 
-        tw0, tw1, tw2 = gwords(txtw_ref, qh, 3, c_lo, c_hi, b_lo, b_hi)
-        pw0, pw1, pw2 = gwords(patw_ref, qv, 3, c_lo, c_hi, b_lo, b_hi)
-        za = fun(tw0, tw1, sh_h) ^ fun(pw0, pw1, sh_v)
-        zb = fun(tw1, tw2, sh_h) ^ fun(pw1, pw2, sh_v)
-        jm = jnp.where(za != 0, ctz28(za) >> 1, WB + (ctz28(zb) >> 1))
-        lim_raw = jnp.minimum(plens - v, tlens - m)
-        j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 2 * WB))
-        m = jnp.where(do_ext, m + j, m)
-        cont = do_ext & (j == 2 * WB) & (lim_raw > 2 * WB)
+        def cat(xs):
+            return xs[0] if NC == 1 else jnp.concatenate(xs, axis=1)
+
+        m = cat(mcs)
+        cont = cat(conts)
+        twl = cat(twls)
+        pwl = cat(pwls)
 
         # Continuations: CW-word (112-base) windows.  Tile-max run length
-        # gates the whole tile through this loop (measured ~9 rounds/step
-        # at 28-base strides on 10 kbp e=1%), so continuation rounds are
-        # wide.  A continuing lane advanced a whole number of words, so
-        # the previous window's last word seeds the next round.
-        CW = 8
-
-        def wbody(st):
-            m, cont_i, tw0, pw0, q_lo_w, q_hi = st
-            act = cont_i > 0
-            v, qh, qv, sh_h, sh_v = align_shifts(m)
-            # every continuing lane advanced exactly CW words, so both
-            # window bounds shift in lockstep
-            q_lo_w = q_lo_w + CW
-            q_hi = q_hi + CW
-            b_lo_ = jnp.clip(q_lo_w >> 7, 0, NB - 1)
-            b_hi_ = jnp.clip(q_hi >> 7, 0, NB - 1)
-            tws = [tw0] + gwords(txtw_ref, qh + 1, CW, c_lo, c_hi, b_lo_,
-                                 b_hi_)
-            pws = [pw0] + gwords(patw_ref, qv + 1, CW, c_lo, c_hi, b_lo_,
-                                 b_hi_)
+        # gates the whole tile through this loop, but each round only
+        # touches chunks that still have a continuing lane.  A continuing
+        # lane advanced a whole number of words, so the previous window's
+        # last word seeds the next round.
+        def wchunk(mc, cont_c, kv, twl_c, pwl_c):
+            act = cont_c > 0
+            v, qh, qv, sh_h, sh_v = _align_shifts(mc, kv)
+            q_lo = jnp.min(jnp.where(act, jnp.minimum(qh, qv), BIG)) + 1
+            q_hi = jnp.max(jnp.where(act, jnp.maximum(qh, qv), -BIG)) + CW
+            b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
+            b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
+            tws = [twl_c] + gather_chunk(txtw_ref, qh + 1, CW, b_lo, b_hi)
+            pws = [pwl_c] + gather_chunk(patw_ref, qv + 1, CW, b_lo, b_hi)
             # one ctz on the first nonzero sub-window (instead of a ctz
             # chain per sub-window — the plane work here dominates)
-            zsel = jnp.zeros((P, Kp), I32)
-            base = jnp.full((P, Kp), CW, I32)
+            zsel = jnp.zeros((P, 128), I32)
+            base = jnp.full((P, 128), CW, I32)
             for d in range(CW - 1, -1, -1):
-                z = fun(tws[d], tws[d + 1], sh_h) ^ \
-                    fun(pws[d], pws[d + 1], sh_v)
+                z = _fun(tws[d], tws[d + 1], sh_h) ^ \
+                    _fun(pws[d], pws[d + 1], sh_v)
                 nz = z != 0
                 zsel = jnp.where(nz, z, zsel)
                 base = jnp.where(nz, d, base)
             jm = jnp.where(base < CW, base * WB + (ctz28(zsel) >> 1),
                            CW * WB)
-            lim_raw = jnp.minimum(plens - v, tlens - m)
+            lim_raw = jnp.minimum(plens - v, tlens - mc)
             j = jnp.minimum(jm, jnp.clip(lim_raw, 0, CW * WB))
-            m2 = jnp.where(act, m + j, m)
+            m2 = jnp.where(act, mc + j, mc)
             c2 = act & (j == CW * WB) & (lim_raw > CW * WB)
-            return m2, c2.astype(I32), tws[CW], pws[CW], q_lo_w, q_hi
+            return m2, c2.astype(I32), tws[CW], pws[CW]
 
-        m, _, _, _, _, _ = jax.lax.while_loop(
+        def wbody(st):
+            m, cont_i, twl, pwl = st
+            mcs, conts, twls, pwls = [], [], [], []
+            for c in range(NC):
+                sel = slice(128 * c, 128 * (c + 1))
+                mc, cc = m[:, sel], cont_i[:, sel]
+                kv = lio128 + (128 * c - smax)
+                tc, pc = twl[:, sel], pwl[:, sel]
+                if NC == 1:
+                    out = wchunk(mc, cc, kv, tc, pc)
+                else:
+                    out = jax.lax.cond(
+                        jnp.max(cc) > 0,
+                        lambda mc=mc, cc=cc, kv=kv, tc=tc, pc=pc:
+                            wchunk(mc, cc, kv, tc, pc),
+                        lambda mc=mc, cc=cc, tc=tc, pc=pc:
+                            (mc, jnp.zeros((P, 128), I32), tc, pc))
+                mcs.append(out[0])
+                conts.append(out[1])
+                twls.append(out[2])
+                pwls.append(out[3])
+            return cat(mcs), cat(conts), cat(twls), cat(pwls)
+
+        if "extend_cont" in _ABLATE:
+            return m
+        m, _, _, _ = jax.lax.while_loop(
             lambda st: jnp.max(st[1]) > 0, wbody,
-            (m, cont.astype(I32), tw2, pw2, q_lo, q_hi))
+            (m, cont, twl, pwl))
         return m
 
     # ---------------- side (klo/khi/flags) ----------------
@@ -243,14 +281,6 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         kh = jnp.where(neg, -1, row[:, 1:2])
         fl = jnp.where(neg, 0, row[:, 2:3])
         return kl, kh, fl
-
-    def sl(w):  # diagonal k-1
-        r = pltpu.roll(w, 1, 1)
-        return jnp.where(kio >= 1, r, NULL)
-
-    def sr(w):  # diagonal k+1
-        r = pltpu.roll(w, Kp - 1, 1)
-        return jnp.where(kio <= Kp - 2, r, NULL)
 
     # ---------------- init: score 0 ----------------
     ring_ref[0, 0] = jnp.where(kvec == 0, 0, NULL).astype(I16)
@@ -270,16 +300,20 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         m_null = ~exists | (((fl >> 1) & 1) == 1)
         inr = (kl <= kvec) & (kvec <= kh)
 
-        do_ext = active & ~m_null & inr & (m >= 0) & (m < R + 2)
-        offi = jnp.where(do_ext, extend(m, do_ext, kl, kh), m)
+        # extend masks per chunk internally (active & ~m_null & in-band
+        # & offset-in-range); untouched lanes pass through unchanged
+        offi = m if "extend" in _ABLATE else extend(m, active & ~m_null,
+                                                    kl, kh)
         ring_ref[slot, 0] = offi.astype(I16)
         # spill score s to the HBM history (post-extend m; i/d unchanged)
-        for c in range(3):
-            cp = pltpu.make_async_copy(ring_ref.at[slot, c],
-                                       hist_ref.at[c, s], semf.at[slot, c])
-            cp.start()
+        if "spill" not in _ABLATE:
+            for c in range(3):
+                cp = pltpu.make_async_copy(ring_ref.at[slot, c],
+                                           hist_ref.at[c, s],
+                                           semf.at[slot, c])
+                cp.start()
 
-        if cfg.adaptive:
+        if cfg.adaptive and "reduce" not in _ABLATE:
             width = kh - kl + 1
             do_red = active & ~m_null & (width >= 10)
             v = offi - kvec
@@ -318,12 +352,14 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         slot2 = jax.lax.rem(s2, WR)
         # the ring slot we are about to overwrite must have finished its
         # spill of score s2 - WR
-        @pl.when(s2 >= WR)
-        def _():
-            for c in range(3):
-                pltpu.make_async_copy(ring_ref.at[slot2, c],
-                                      hist_ref.at[c, jnp.maximum(s2 - WR, 0)],
-                                      semf.at[slot2, c]).wait()
+        if "spill" not in _ABLATE:
+            @pl.when(s2 >= WR)
+            def _():
+                for c in range(3):
+                    pltpu.make_async_copy(
+                        ring_ref.at[slot2, c],
+                        hist_ref.at[c, jnp.maximum(s2 - WR, 0)],
+                        semf.at[slot2, c]).wait()
 
         l_sub, h_sub, f_sub = side_read(s2 - x)
         l_o, h_o, f_o = side_read(s2 - go - ge)
@@ -346,42 +382,93 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         lo = jnp.minimum(jnp.minimum(sub_lo, o_lo), e_lo) - 1
         hi_ = jnp.maximum(jnp.maximum(sub_hi, o_hi), e_hi) + 1
 
-        mw_sub = ring_ref[jax.lax.rem(jnp.maximum(s2 - x, 0), WR), 0] \
-            .astype(I32)
-        mw_o = ring_ref[jax.lax.rem(jnp.maximum(s2 - go - ge, 0), WR), 0] \
-            .astype(I32)
-        iw_e = ring_ref[jax.lax.rem(jnp.maximum(s2 - ge, 0), WR), 1] \
-            .astype(I32)
-        dw_e = ring_ref[jax.lax.rem(jnp.maximum(s2 - ge, 0), WR), 2] \
-            .astype(I32)
+        slot_sub = jax.lax.rem(jnp.maximum(s2 - x, 0), WR)
+        slot_o = jax.lax.rem(jnp.maximum(s2 - go - ge, 0), WR)
+        slot_e = jax.lax.rem(jnp.maximum(s2 - ge, 0), WR)
 
-        km1 = kvec - 1
-        kp1 = kvec + 1
-        ins_g = jnp.where(~m_o_null & (o_lo <= km1) & (km1 <= o_hi),
-                          sl(mw_o), NULL)
-        ins_i = jnp.where(~i_e_null & (e_lo <= km1) & (km1 <= e_hi),
-                          sl(iw_e), NULL)
-        both_null = (ins_g == NULL) & (ins_i == NULL)
-        ins = jnp.where(both_null, NULL, jnp.maximum(ins_g, ins_i) + 1)
-        del_g = jnp.where(~m_o_null & (o_lo <= kp1) & (kp1 <= o_hi),
-                          sr(mw_o), NULL)
-        del_d = jnp.where(~d_e_null & (e_lo <= kp1) & (kp1 <= e_hi),
-                          sr(dw_e), NULL)
-        dl = jnp.maximum(del_g, del_d)
-        sub = jnp.where((sub_lo <= kvec) & (kvec <= sub_hi),
-                        mw_sub + 1, NULL)
-        ins_m = jnp.where(i_out_null, -10, ins)
-        del_m = jnp.where(d_out_null, -10, dl)
-        sub_m = jnp.where(m_sub_null, -10, sub)
-        m_new = jnp.maximum(del_m, jnp.maximum(sub_m, ins_m))
+        # Scalar chunk bounds of the NEW band [lo, hi] (union over pairs;
+        # empty when every pair is allnull) — only those 128-lane chunks
+        # get plane work and ring stores this step.  Stale lanes outside
+        # a score's stored [klo, khi] band are never consulted: every
+        # read below and in extend/backtrace is band-guarded.
+        # (reduce over a lane-wide broadcast: Mosaic's layout pass miscompiles
+        # reductions of (P, 1) vectors inside scf.while — observed SIGABRT
+        # "limits[i] <= dim(i) (8 vs. 1)" in vector_extract_strided_slice)
+        lo_u = jnp.min(jnp.where(allnull, BIG,
+                                 jnp.broadcast_to(lo, (P, 128))))
+        hi_u = jnp.max(jnp.where(allnull, -BIG,
+                                 jnp.broadcast_to(hi_, (P, 128))))
+        c_lo2 = jnp.clip((lo_u + smax) >> 7, 0, NC - 1)
+        c_hi2 = jnp.clip((hi_u + smax) >> 7, 0, NC - 1)
 
-        inr_new = (lo <= kvec) & (kvec <= hi_)
-        write = ~allnull & inr_new
-        ring_ref[slot2, 0] = jnp.where(write, m_new, NULL).astype(I16)
-        ring_ref[slot2, 1] = jnp.where(write & ~i_out_null, ins,
-                                       NULL).astype(I16)
-        ring_ref[slot2, 2] = jnp.where(write & ~d_out_null, dl,
-                                       NULL).astype(I16)
+        def compute_chunk(c):
+            sel = slice(128 * c, 128 * (c + 1))
+            # fresh chunk-local iota — slicing kvec (sublane-replicated
+            # layout) inside scf.while SIGABRTs Mosaic's layout pass
+            kv = lio128 + (128 * c - smax)
+            mw_sub = ring_ref[slot_sub, 0, :, sel].astype(I32)
+            mw_o = ring_ref[slot_o, 0, :, sel].astype(I32)
+            iw_e = ring_ref[slot_e, 1, :, sel].astype(I32)
+            dw_e = ring_ref[slot_e, 2, :, sel].astype(I32)
+            # halo exchange at the chunk edges: diagonal k-1 of lane 0
+            # lives in the left neighbor chunk (global lane 0 reads NULL,
+            # as the full-width roll did), k+1 of lane 127 in the right
+            nullc = jnp.full((P, 1), NULL, I32)
+            mo_l = ring_ref[slot_o, 0, :, 128 * c - 1:128 * c] \
+                .astype(I32) if c > 0 else nullc
+            ie_l = ring_ref[slot_e, 1, :, 128 * c - 1:128 * c] \
+                .astype(I32) if c > 0 else nullc
+            mo_r = ring_ref[slot_o, 0, :,
+                            128 * (c + 1):128 * (c + 1) + 1] \
+                .astype(I32) if c < NC - 1 else nullc
+            de_r = ring_ref[slot_e, 2, :,
+                            128 * (c + 1):128 * (c + 1) + 1] \
+                .astype(I32) if c < NC - 1 else nullc
+
+            def sl_c(w, wl):
+                return jnp.where(lio128 == 0, wl, pltpu.roll(w, 1, 1))
+
+            def sr_c(w, wr):
+                return jnp.where(lio128 == 127, wr, pltpu.roll(w, 127, 1))
+
+            km1 = kv - 1
+            kp1 = kv + 1
+            ins_g = jnp.where(~m_o_null & (o_lo <= km1) & (km1 <= o_hi),
+                              sl_c(mw_o, mo_l), NULL)
+            ins_i = jnp.where(~i_e_null & (e_lo <= km1) & (km1 <= e_hi),
+                              sl_c(iw_e, ie_l), NULL)
+            both_null = (ins_g == NULL) & (ins_i == NULL)
+            ins = jnp.where(both_null, NULL, jnp.maximum(ins_g, ins_i) + 1)
+            del_g = jnp.where(~m_o_null & (o_lo <= kp1) & (kp1 <= o_hi),
+                              sr_c(mw_o, mo_r), NULL)
+            del_d = jnp.where(~d_e_null & (e_lo <= kp1) & (kp1 <= e_hi),
+                              sr_c(dw_e, de_r), NULL)
+            dl = jnp.maximum(del_g, del_d)
+            sub = jnp.where((sub_lo <= kv) & (kv <= sub_hi),
+                            mw_sub + 1, NULL)
+            ins_m = jnp.where(i_out_null, -10, ins)
+            del_m = jnp.where(d_out_null, -10, dl)
+            sub_m = jnp.where(m_sub_null, -10, sub)
+            m_new = jnp.maximum(del_m, jnp.maximum(sub_m, ins_m))
+
+            inr_new = (lo <= kv) & (kv <= hi_)
+            write = ~allnull & inr_new
+            ring_ref[slot2, 0, :, sel] = \
+                jnp.where(write, m_new, NULL).astype(I16)
+            ring_ref[slot2, 1, :, sel] = \
+                jnp.where(write & ~i_out_null, ins, NULL).astype(I16)
+            ring_ref[slot2, 2, :, sel] = \
+                jnp.where(write & ~d_out_null, dl, NULL).astype(I16)
+
+        if "compute" not in _ABLATE:
+            for c in range(NC):
+                if NC == 1:
+                    compute_chunk(c)
+                else:
+                    @pl.when((c >= c_lo2) & (c <= c_hi2))
+                    def _(c=c):
+                        compute_chunk(c)
+
         newf = jnp.where(allnull, 0,
                          1 | (i_out_null.astype(I32) << 2)
                          | (d_out_null.astype(I32) << 3))
@@ -398,10 +485,11 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         (jnp.int32(0), jnp.ones((P, 1), I32), jnp.zeros((P, 1), I32)))
     scores = jnp.where(active_i > 0, smax + 1, scores)
     # Drain outstanding spills before the backtrace reads the history.
+    # (dev ablation: no spills were started, so nothing to drain)
     # Spills were issued for scores 0..s_end-1; the loop body already
     # waited scores <= s_end-WR, so the unwaited ones are the (at most
     # WR-1) scores in [max(0, s_end+1-WR), s_end-1].
-    for d in range(WR - 1):
+    for d in range(WR - 1 if "spill" not in _ABLATE else 0):
         sd = s_end - 1 - d
 
         @pl.when((sd >= 0) & (sd >= s_end + 1 - WR))
@@ -417,7 +505,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     recs = jnp.zeros((P, SRp), I32)
     recs = jnp.where(cio == smax + 3, scores, recs)
 
-    if not cfg.backtrace:
+    if not cfg.backtrace or "backtrace" in _ABLATE:
         recs_ref[:, :] = recs
         return
 
