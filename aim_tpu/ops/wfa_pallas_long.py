@@ -16,14 +16,16 @@ dpu_allocator_mram.c:128-347).  Here:
   * the extend stage needs no O(K*R) table at all (the round-1 blocker):
     sequences stay resident in VMEM as 14-base 2-bit-packed words
     (28-bit values — this runtime degrades on materialized int32 buffers
-    holding values >= ~2^29, PERFNOTES.md §1), and each probe fetches
-    the text/pattern words at per-(pair, diagonal) offsets with 128-lane
-    take-along-axis gathers decomposed over lane chunks and word blocks,
-    XORs 14-base windows, and advances by the count of leading matches;
-    a while loop continues only while some lane matched a full window.
-    Chunk/block ranges are bounded per step by the live [klo, khi] band
-    and offset window, so WFA-adaptive's reduced band keeps the gather
-    count proportional to live work.
+    holding values >= ~2^29, PERFNOTES.md §1).  Each 128-lane k-chunk
+    runs its own while-loop of _CW-word scan rounds: per round it
+    fetches the text words raw and the pattern words through a
+    lane-constant funnel shift onto the text word grid (the paired
+    pattern base of text base t on diagonal k is t - k), XORs, and
+    advances each lane to its first mismatch; a chunk's loop continues
+    only while one of its lanes matched a full window.  Chunk/block
+    ranges are bounded per step by the live [klo, khi] band and offset
+    window, so WFA-adaptive's reduced band keeps the gather count
+    proportional to live work.
 
 Layout: pairs in SUBLANES (P=64 rows), diagonals in LANES (Kp =
 roundup(2*smax+1, 128)) — the transpose of ops/wfa_pallas2.py, because
@@ -54,6 +56,7 @@ BIG = 2 ** 20
 
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
+_CW = 4          # extend scan-window words per round (TPU-tuned)
 WB = 14         # bases per packed word (28 bits < 2**28: relay-safe)
 MASK28 = (1 << 28) - 1
 
@@ -106,13 +109,19 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         """Per-lane word fetch for ONE k-chunk: out[d][p, j] =
         seq[p, q0c[p, j] + d], offsets clamped to [0, Wp).  Word blocks
         outside the scalar [b_lo, b_hi] window are skipped — the analogue
-        of the reference's band-proportional MRAM traffic."""
-        idx = [jnp.minimum(q0c + d, Wp - 1) for d in range(nwords)]
+        of the reference's band-proportional MRAM traffic.  The low clamp
+        matters: pattern word indices go negative for k > 14*q_text; the
+        clamped fetch only feeds bits that the caller masks out (they map
+        to pattern bases < 0, which sit behind the current offset)."""
+        idx = [jnp.clip(q0c + d, 0, Wp - 1) for d in range(nwords)]
         bsel = [ix >> 7 for ix in idx]
         r = [ix & 127 for ix in idx]
 
         def one_block(b, accs):
             blkref = seq_ref[:, 128 * b:128 * (b + 1)]
+            if "gather" in _ABLATE:  # dev ablation: index math minus gather
+                return tuple(acc + jnp.where(bsel[d] == b, r[d], 0)
+                             for d, acc in enumerate(accs))
             return tuple(
                 acc + jnp.where(bsel[d] == b,
                                 jnp.take_along_axis(blkref, r[d], axis=1),
@@ -126,145 +135,125 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
                                 lambda a: a, accs)
         return list(accs)
 
-    def _fun(w0, w1, sh):
-        return ((w0 >> sh)
-                | ((w1 & ((1 << sh) - 1)) << (2 * WB - sh))) & MASK28
-
-    def _align_shifts(m, kv):
-        v = m - kv
-        mc = jnp.clip(m, 0, R + 1)
-        vc = jnp.clip(v, 0, R + 1)
-        qh = _div_wb(mc)
-        qv = _div_wb(vc)
-        return v, qh, qv, 2 * (mc - qh * WB), 2 * (vc - qv * WB)
-
-    CW = 8  # continuation window: CW words = 112 bases per round
+    CW = _CW  # scan window: CW words = 14*CW bases per round
+    C0 = smax // WB + 1  # offset making 14*C0 - k >= 0 for all diagonals
 
     def extend(m, act_nm, kl, kh):
         """First-mismatch extension of offsets m on each live diagonal
-        (ref: wfa.c:193-215).  Probes 2*WB-base (28-base) windows;
-        continues while any lane matched a full window.
+        (ref: wfa.c:193-215), as one while-loop of CW-word scan rounds
+        PER 128-lane k-chunk (no cross-chunk lockstep state: the old
+        global round loop rebuilt four full-Kp planes per round).
 
-        ALL plane work runs per 128-lane k-chunk, gated on that chunk
-        having any live lane (round-3 restructure: the adaptive band is
-        typically 1-2 chunks of Kp/128, so full-width elementwise work
-        dominated the 10 kbp profile).  Chunks are static Python slices;
-        liveness gates are lax.cond on per-chunk occupancy scalars.
-        act_nm is the per-pair (P, 1) active & ~m_null mask; the per-lane
-        live mask is rebuilt per chunk from it — slicing masks composed
-        of broadcast iotas (sublane-replicated layouts) inside scf.while
-        SIGABRTs Mosaic's layout pass, so kv/do_c are chunk-local."""
+        One-sided alignment: only the PATTERN stream is funnel-shifted,
+        onto the text word grid.  The shift is lane-constant — the paired
+        pattern base of text base t on diagonal k is t - k, so the word
+        offset is floor(-k/14) and the bit shift 2*((-k) mod 14) — which
+        halves the per-word funnel work and lets the text words be
+        compared raw.  Bits behind the current offset are masked in the
+        first word; they are guaranteed matches on this diagonal anyway
+        (extension is contiguous; X steps consume their mismatch), and
+        the mask also covers clamped fetches of pattern words < 0.
+        After the first round every continuing lane is word-aligned
+        (sh2 == 0) and the last pattern word seeds the next round.
 
-        def probe_chunk(mc, do_c, kv):
-            v, qh, qv, sh_h, sh_v = _align_shifts(mc, kv)
-            q_lo = jnp.min(jnp.where(do_c, jnp.minimum(qh, qv), BIG))
-            q_hi = jnp.max(jnp.where(do_c, jnp.maximum(qh, qv), -BIG)) + 2
-            b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
-            b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
-            tw0, tw1, tw2 = gather_chunk(txtw_ref, qh, 3, b_lo, b_hi)
-            pw0, pw1, pw2 = gather_chunk(patw_ref, qv, 3, b_lo, b_hi)
-            za = _fun(tw0, tw1, sh_h) ^ _fun(pw0, pw1, sh_v)
-            zb = _fun(tw1, tw2, sh_h) ^ _fun(pw1, pw2, sh_v)
-            jm = jnp.where(za != 0, ctz28(za) >> 1, WB + (ctz28(zb) >> 1))
-            lim_raw = jnp.minimum(plens - v, tlens - mc)
-            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, 2 * WB))
-            m2 = jnp.where(do_c, mc + j, mc)
-            cont = do_c & (j == 2 * WB) & (lim_raw > 2 * WB)
-            return m2, cont.astype(I32), tw2, pw2
+        Chunks are static Python slices gated by lax.cond on occupancy;
+        kv/do_c stay chunk-local — slicing sublane-replicated broadcast
+        iotas inside scf.while SIGABRTs Mosaic's layout pass."""
 
-        # First probe: one 2*WB-base (28-base) window — most lanes stop
-        # inside it.  The last fetched words are kept so continuations can
-        # reuse them (a continuing lane advanced exactly two words).
-        mcs, conts, twls, pwls = [], [], [], []
-        for c in range(NC):
-            sel = slice(128 * c, 128 * (c + 1))
-            mc = m[:, sel]
+        def chunk_body(c, st):
+            mc, cont_i, pwl, nr = st
+            act = cont_i > 0
+            # lane constants rebuilt per round from the iota — capturing
+            # computed sublane-replicated planes into scf.while risks the
+            # Mosaic layout-pass aborts documented above
             kv = lio128 + (128 * c - smax)
-            do_c = act_nm & (kl <= kv) & (kv <= kh) \
-                & (mc >= 0) & (mc < R + 2)
-            if NC == 1:
-                out = probe_chunk(mc, do_c, kv)
-            else:
-                zero = jnp.zeros((P, 128), I32)
-                out = jax.lax.cond(
-                    jnp.max(do_c.astype(I32)) > 0,
-                    lambda mc=mc, do_c=do_c, kv=kv:
-                        probe_chunk(mc, do_c, kv),
-                    lambda mc=mc: (mc, zero, zero, zero))
-            mcs.append(out[0])
-            conts.append(out[1])
-            twls.append(out[2])
-            pwls.append(out[3])
-
-        def cat(xs):
-            return xs[0] if NC == 1 else jnp.concatenate(xs, axis=1)
-
-        m = cat(mcs)
-        cont = cat(conts)
-        twl = cat(twls)
-        pwl = cat(pwls)
-
-        # Continuations: CW-word (112-base) windows.  Tile-max run length
-        # gates the whole tile through this loop, but each round only
-        # touches chunks that still have a continuing lane.  A continuing
-        # lane advanced a whole number of words, so the previous window's
-        # last word seeds the next round.
-        def wchunk(mc, cont_c, kv, twl_c, pwl_c):
-            act = cont_c > 0
-            v, qh, qv, sh_h, sh_v = _align_shifts(mc, kv)
-            q_lo = jnp.min(jnp.where(act, jnp.minimum(qh, qv), BIG)) + 1
-            q_hi = jnp.max(jnp.where(act, jnp.maximum(qh, qv), -BIG)) + CW
-            b_lo = jnp.clip(q_lo >> 7, 0, NB - 1)
-            b_hi = jnp.clip(q_hi >> 7, 0, NB - 1)
-            tws = [twl_c] + gather_chunk(txtw_ref, qh + 1, CW, b_lo, b_hi)
-            pws = [pwl_c] + gather_chunk(patw_ref, qv + 1, CW, b_lo, b_hi)
-            # one ctz on the first nonzero sub-window (instead of a ctz
-            # chain per sub-window — the plane work here dominates)
+            u = WB * C0 - kv
+            nq = _div_wb(u)
+            qoff = nq - C0
+            shp = 2 * (u - WB * nq)
+            pmask = (1 << shp) - 1
+            mcc = jnp.clip(mc, 0, R + 1)
+            qt = _div_wb(mcc)
+            sh2 = 2 * (mcc - WB * qt)
+            qp = qt + qoff
+            t_lo = jnp.min(jnp.where(act, qt, BIG))
+            t_hi = jnp.max(jnp.where(act, qt, -BIG)) + CW - 1
+            p_lo = jnp.min(jnp.where(act, qp, BIG)) + 1
+            p_hi = jnp.max(jnp.where(act, qp, -BIG)) + CW
+            tws = gather_chunk(txtw_ref, qt, CW,
+                               jnp.clip(t_lo >> 7, 0, NB - 1),
+                               jnp.clip(t_hi >> 7, 0, NB - 1))
+            pws = [pwl] + gather_chunk(patw_ref, qp + 1, CW,
+                                       jnp.clip(p_lo >> 7, 0, NB - 1),
+                                       jnp.clip(p_hi >> 7, 0, NB - 1))
+            # one ctz on the first nonzero word (selection chain only)
             zsel = jnp.zeros((P, 128), I32)
             base = jnp.full((P, 128), CW, I32)
             for d in range(CW - 1, -1, -1):
-                z = _fun(tws[d], tws[d + 1], sh_h) ^ \
-                    _fun(pws[d], pws[d + 1], sh_v)
+                pal = ((pws[d] >> shp)
+                       | ((pws[d + 1] & pmask) << (2 * WB - shp))) & MASK28
+                z = tws[d] ^ pal
+                if d == 0:
+                    z = z & ~((1 << sh2) - 1)
                 nz = z != 0
                 zsel = jnp.where(nz, z, zsel)
                 base = jnp.where(nz, d, base)
-            jm = jnp.where(base < CW, base * WB + (ctz28(zsel) >> 1),
-                           CW * WB)
-            lim_raw = jnp.minimum(plens - v, tlens - mc)
-            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, CW * WB))
+            shh = sh2 >> 1
+            cov = WB * CW - shh
+            jm = jnp.where(base < CW,
+                           WB * base + (ctz28(zsel) >> 1) - shh, cov)
+            lim_raw = jnp.minimum(plens - (mc - kv), tlens - mc)
+            j = jnp.minimum(jm, jnp.clip(lim_raw, 0, cov))
             m2 = jnp.where(act, mc + j, mc)
-            c2 = act & (j == CW * WB) & (lim_raw > CW * WB)
-            return m2, c2.astype(I32), tws[CW], pws[CW]
+            cont2 = act & (j == cov) & (lim_raw > cov)
+            pwl2 = jnp.where(act, pws[CW], pwl)
+            return m2, cont2.astype(I32), pwl2, nr + 1
 
-        def wbody(st):
-            m, cont_i, twl, pwl = st
-            mcs, conts, twls, pwls = [], [], [], []
-            for c in range(NC):
-                sel = slice(128 * c, 128 * (c + 1))
-                mc, cc = m[:, sel], cont_i[:, sel]
-                kv = lio128 + (128 * c - smax)
-                tc, pc = twl[:, sel], pwl[:, sel]
-                if NC == 1:
-                    out = wchunk(mc, cc, kv, tc, pc)
-                else:
-                    out = jax.lax.cond(
-                        jnp.max(cc) > 0,
-                        lambda mc=mc, cc=cc, kv=kv, tc=tc, pc=pc:
-                            wchunk(mc, cc, kv, tc, pc),
-                        lambda mc=mc, cc=cc, tc=tc, pc=pc:
-                            (mc, jnp.zeros((P, 128), I32), tc, pc))
-                mcs.append(out[0])
-                conts.append(out[1])
-                twls.append(out[2])
-                pwls.append(out[3])
-            return cat(mcs), cat(conts), cat(twls), cat(pwls)
+        if "extend_cont" in _ABLATE:   # timing-only: single round, WRONG
+            def wcond(st):
+                return (jnp.max(st[1]) > 0) & (st[3] < 1)
+        else:
+            def wcond(st):
+                return jnp.max(st[1]) > 0
 
-        if "extend_cont" in _ABLATE:
-            return m
-        m, _, _, _ = jax.lax.while_loop(
-            lambda st: jnp.max(st[1]) > 0, wbody,
-            (m, cont, twl, pwl))
-        return m
+        def chunk_loop(mc0, do_c, c):
+            kv = lio128 + (128 * c - smax)
+            # pattern-alignment constants (lane-fixed): u >= 0 keeps
+            # _div_wb in domain; qoff = floor(-kv/14), shp = 2*((-kv)%14)
+            u = WB * C0 - kv
+            nq = _div_wb(u)
+            qoff = nq - C0
+            mcc0 = jnp.clip(mc0, 0, R + 1)
+            qp0 = _div_wb(mcc0) + qoff
+            p_lo = jnp.min(jnp.where(do_c, qp0, BIG))
+            p_hi = jnp.max(jnp.where(do_c, qp0, -BIG))
+            (pwl0,) = gather_chunk(patw_ref, qp0, 1,
+                                   jnp.clip(p_lo >> 7, 0, NB - 1),
+                                   jnp.clip(p_hi >> 7, 0, NB - 1))
+            m2, _, _, nr = jax.lax.while_loop(
+                wcond, functools.partial(chunk_body, c),
+                (mc0, do_c.astype(I32), pwl0, jnp.int32(0)))
+            return m2, nr
+
+        out, nround_tot = [], jnp.int32(0)
+        for c in range(NC):
+            sel = slice(128 * c, 128 * (c + 1))
+            mc0 = m[:, sel]
+            kv = lio128 + (128 * c - smax)
+            do_c = act_nm & (kl <= kv) & (kv <= kh) \
+                & (mc0 >= 0) & (mc0 < R + 2)
+            if NC == 1:
+                mc2, nr = chunk_loop(mc0, do_c, c)
+            else:
+                mc2, nr = jax.lax.cond(
+                    jnp.max(do_c.astype(I32)) > 0,
+                    lambda mc0=mc0, do_c=do_c, c=c:
+                        chunk_loop(mc0, do_c, c),
+                    lambda mc0=mc0: (mc0, jnp.int32(0)))
+            out.append(mc2)
+            nround_tot = nround_tot + nr
+        m = out[0] if NC == 1 else jnp.concatenate(out, axis=1)
+        return m, nround_tot, jnp.int32(0)
 
     # ---------------- side (klo/khi/flags) ----------------
     lio8 = jax.lax.broadcasted_iota(I32, (P, 8), 1)
@@ -291,7 +280,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
 
     # ---------------- forward ----------------
     def fwd_body(state):
-        s, active_i, scores = state
+        s, active_i, scores, diag = state
         active = active_i > 0
         slot = jax.lax.rem(s, WR)
         m = ring_ref[slot, 0].astype(I32)
@@ -302,8 +291,10 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
 
         # extend masks per chunk internally (active & ~m_null & in-band
         # & offset-in-range); untouched lanes pass through unchanged
-        offi = m if "extend" in _ABLATE else extend(m, active & ~m_null,
-                                                    kl, kh)
+        if "extend" in _ABLATE:
+            offi, ext_rounds = m, jnp.int32(0)
+        else:
+            offi, ext_rounds, _ = extend(m, active & ~m_null, kl, kh)
         ring_ref[slot, 0] = offi.astype(I16)
         # spill score s to the HBM history (post-extend m; i/d unchanged)
         if "spill" not in _ABLATE:
@@ -474,15 +465,19 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
                          | (d_out_null.astype(I32) << 3))
         side_ref[s2] = side_pack(jnp.where(allnull, 1, lo),
                                  jnp.where(allnull, -1, hi_), newf)
-        return s2, active.astype(I32), scores
+        if "diag" in _ABLATE:
+            diag = diag + jnp.stack([jnp.int32(1), ext_rounds,
+                                     jnp.maximum(c_hi2 - c_lo2 + 1, 0)])
+        return s2, active.astype(I32), scores, diag
 
     def fwd_cond(state):
-        s, active_i, _ = state
+        s, active_i, _, _ = state
         return (s <= smax) & (jnp.max(active_i) > 0)
 
-    s_end, active_i, scores = jax.lax.while_loop(
+    s_end, active_i, scores, diag = jax.lax.while_loop(
         fwd_cond, fwd_body,
-        (jnp.int32(0), jnp.ones((P, 1), I32), jnp.zeros((P, 1), I32)))
+        (jnp.int32(0), jnp.ones((P, 1), I32), jnp.zeros((P, 1), I32),
+         jnp.zeros((3,), I32)))
     scores = jnp.where(active_i > 0, smax + 1, scores)
     # Drain outstanding spills before the backtrace reads the history.
     # (dev ablation: no spills were started, so nothing to drain)
@@ -504,8 +499,13 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     cio = jax.lax.broadcasted_iota(I32, (P, SRp), 1)
     recs = jnp.zeros((P, SRp), I32)
     recs = jnp.where(cio == smax + 3, scores, recs)
+    if "diag" in _ABLATE:
+        # rows 0..2 of pair 0: steps, extend rounds, live compute chunks
+        pio = jax.lax.broadcasted_iota(I32, (P, SRp), 0)
+        for j in range(3):
+            recs = jnp.where((pio == 0) & (cio == j), diag[j], recs)
 
-    if not cfg.backtrace or "backtrace" in _ABLATE:
+    if not cfg.backtrace or "backtrace" in _ABLATE or "diag" in _ABLATE:
         recs_ref[:, :] = recs
         return
 

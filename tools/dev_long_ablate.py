@@ -25,23 +25,33 @@ from tools.dev_long_check import synth  # noqa: E402
 
 
 def run(cfg, dp, dt, dpl, dtl, n):
+    """Marginal slope between one tile (64) and n pairs — the relay's
+    ~30 ms dispatch floor swamps single-tile timings (PERFNOTES.md)."""
     fn = jax.jit(WL._wfa_long_jit.__wrapped__,
                  static_argnames=("cfg", "interpret"))
-    out = fn(dp, dt, dpl, dtl, cfg=cfg, interpret=False)
-    jax.block_until_ready(out)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fn(dp, dt, dpl, dtl, cfg=cfg, interpret=False)
+
+    def best_of(m):
+        out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg,
+                 interpret=False)
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / n * 1e6
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg,
+                     interpret=False)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_of(64)
+    t2 = best_of(n)
+    return (t2 - t1) / (n - 64) * 1e6
 
 
 def main():
     l = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     e = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 320
     _ensure_eager_dispatch()
     cfg = derive_config("wfa", l, e, backtrace=True, adaptive=True,
                         variant="hbm")
@@ -55,7 +65,7 @@ def main():
     print(f"l={l} smax={cfg.max_score} baseline: {base:.1f} us/pair",
           flush=True)
     for ab in ("backtrace", "extend_cont", "extend", "spill", "reduce",
-               "compute"):
+               "compute", "gather"):
         WL._ABLATE = {ab}
         try:
             t = run(cfg, dp, dt, dpl, dtl, n)
