@@ -50,6 +50,13 @@ def load():
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
             _i8p, _i8p, _i32p, _i32p,
         ]
+        lib.aim_parse_pairs_range.restype = ctypes.c_long
+        lib.aim_parse_pairs_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            _i8p, _i8p, _i32p, _i32p,
+        ]
+        lib.aim_count_pairs.restype = ctypes.c_long
+        lib.aim_count_pairs.argtypes = [ctypes.c_char_p, ctypes.c_long]
         lib.aim_nw_align.restype = None
         lib.aim_nw_align.argtypes = [
             _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
@@ -151,6 +158,39 @@ def parse_pairs(path: str, max_pairs: int, read_size: int):
         raise ValueError(
             f"read longer than READ_SIZE={read_size} at line {-n} of {path}")
     return pats[:n], txts[:n], plens[:n], tlens[:n]
+
+
+def parse_pairs_range(path: str, start_pair: int, max_pairs: int,
+                      read_size: int):
+    """Parse only pairs [start_pair, start_pair + max_pairs) of a pair
+    file: the seek phase is a newline count (no copies), so a multi-host
+    process touches O(its block) of parsing/packing work (the reference
+    host streams each DPU's contiguous block, host.c:91-134).  Same
+    return contract and fatal READ_SIZE semantics (global line numbers)
+    as parse_pairs."""
+    lib = load()
+    pats = np.zeros((max_pairs, read_size), np.uint8)
+    txts = np.zeros((max_pairs, read_size), np.uint8)
+    plens = np.zeros(max_pairs, np.int32)
+    tlens = np.zeros(max_pairs, np.int32)
+    n = lib.aim_parse_pairs_range(path.encode(), start_pair, max_pairs,
+                                  read_size, pats, txts, plens, tlens)
+    if n == -1000000000:
+        raise FileNotFoundError(path)
+    if n < 0:
+        raise ValueError(
+            f"read longer than READ_SIZE={read_size} at line {-n} of {path}")
+    return pats[:n], txts[:n], plens[:n], tlens[:n]
+
+
+def count_pairs(path: str, max_pairs: int) -> int:
+    """Count complete pairs in a pair file (newline scan, no parsing),
+    capped at max_pairs."""
+    lib = load()
+    n = lib.aim_count_pairs(path.encode(), max_pairs)
+    if n == -1000000000:
+        raise FileNotFoundError(path)
+    return int(n)
 
 
 def _prep(pats, txts, plens, tlens):

@@ -94,6 +94,144 @@ extern "C" long aim_parse_pairs(const char *path, long max_pairs, int read_size,
 }
 
 // ---------------------------------------------------------------------------
+// Streaming per-range parser + pair counter (multi-host sharding).
+//
+// The reference host streams each DPU's contiguous block sequentially
+// (ref: host.c:91-134, 191-209); the multi-host analogue lets each process
+// touch O(its block): the seek phase memchr-counts newlines without
+// copying, and only the [start_pair, start_pair + max_pairs) window is
+// parsed into the caller's buffers.  Semantics (getline-style lengths,
+// sentinel strip, fatal READ_SIZE reject with GLOBAL line number, pair
+// dropped when the text line is missing) are identical to
+// aim_parse_pairs above.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LineReader {
+  FILE *f;
+  std::vector<char> chunk;
+  size_t pos = 0, avail = 0;
+  std::string line;  // reused across next() calls
+  explicit LineReader(FILE *f_) : f(f_), chunk(1 << 20) {}
+  bool refill() {
+    avail = std::fread(chunk.data(), 1, chunk.size(), f);
+    pos = 0;
+    return avail > 0;
+  }
+  // Reads one line into `line` (no '\n'). Returns false at EOF with no
+  // content; *had_nl says whether a '\n' terminated the line.
+  bool next(bool *had_nl) {
+    line.clear();
+    *had_nl = false;
+    for (;;) {
+      if (pos >= avail && !refill()) return !line.empty();
+      char *base = chunk.data() + pos;
+      char *nl = (char *)memchr(base, '\n', avail - pos);
+      if (nl) {
+        line.append(base, (size_t)(nl - base));
+        pos = (size_t)(nl - chunk.data()) + 1;
+        *had_nl = true;
+        return true;
+      }
+      line.append(base, avail - pos);
+      pos = avail;
+    }
+  }
+  // Skips one line without copying. Same return semantics as next();
+  // *len_out gets the content length (no '\n').
+  bool skip(bool *had_nl, long *len_out) {
+    *had_nl = false;
+    long len = 0;
+    for (;;) {
+      if (pos >= avail && !refill()) { *len_out = len; return len > 0; }
+      char *base = chunk.data() + pos;
+      char *nl = (char *)memchr(base, '\n', avail - pos);
+      if (nl) {
+        len += (long)(nl - base);
+        pos = (size_t)(nl - chunk.data()) + 1;
+        *had_nl = true;
+        *len_out = len;
+        return true;
+      }
+      len += (long)(avail - pos);
+      pos = avail;
+    }
+  }
+};
+
+}  // namespace
+
+// Counts complete pairs (same termination rules as the parser), up to
+// max_pairs; newline scan only, no copies.
+extern "C" long aim_count_pairs(const char *path, long max_pairs) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  LineReader r(f);
+  long n = 0;
+  while (n < max_pairs) {
+    bool nl;
+    long len;
+    if (!r.skip(&nl, &len)) break;          // EOF, nothing read
+    if (len + (nl ? 1 : 0) <= 0) break;     // getline-style empty
+    if (!r.skip(&nl, &len)) break;          // pattern without text: drop
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
+                                      long max_pairs, int read_size,
+                                      uint8_t *patterns, uint8_t *texts,
+                                      int32_t *pattern_lens,
+                                      int32_t *text_lens) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  LineReader r(f);
+  long line_no = 0;
+  for (long i = 0; i < 2 * start_pair; ++i) {
+    bool nl;
+    long len;
+    if (!r.skip(&nl, &len)) { std::fclose(f); return 0; }
+    ++line_no;
+  }
+  std::string line1;
+  long n = 0;
+  while (n < max_pairs) {
+    bool nl1;
+    if (!r.next(&nl1)) break;
+    long len1 = (long)r.line.size() + (nl1 ? 1 : 0);
+    if (len1 <= 0) break;
+    ++line_no;
+    line1.swap(r.line);
+    bool nl2;
+    if (!r.next(&nl2)) break;  // pattern without text: pair dropped
+    ++line_no;
+    long len2 = (long)r.line.size() + (nl2 ? 1 : 0);
+    // Checks deferred until both lines are read so the fatal line number
+    // matches aim_parse_pairs (it reports after consuming the pair).
+    long plen = len1 - 2;
+    long tlen = len2 - 2;
+    if (plen > read_size || tlen > read_size) {
+      std::fclose(f);
+      return -(line_no);
+    }
+    if (plen < 0) plen = 0;
+    if (tlen < 0) tlen = 0;
+    std::memset(patterns + n * read_size, 0, (size_t)read_size);
+    std::memset(texts + n * read_size, 0, (size_t)read_size);
+    std::memcpy(patterns + n * read_size, line1.data() + 1, (size_t)plen);
+    std::memcpy(texts + n * read_size, r.line.data() + 1, (size_t)tlen);
+    pattern_lens[n] = (int32_t)plen;
+    text_lens[n] = (int32_t)tlen;
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
 // NW (edit distance, linear gap) oracle — exact flat-tape semantics.
 //
 // cell type int16 (NW_W16, ref: NW/*/common/common.h:87).

@@ -43,18 +43,19 @@ def align_file_multihost(input_path: str, output_path: str, n_reads: int,
     """
     from aim_tpu.api import align
 
-    # Parse the whole requested range cheaply, slice this host's block.
-    # (Parsing is ~GB/s; a per-range parser is a later optimization.)
-    pats, txts, plens, tlens = native.parse_pairs(input_path, n_reads,
-                                                  cfg.read_size)
-    total = len(plens)
+    # Each process parses only its contiguous block: the shard bounds
+    # come from a newline-count pass (no copies), then the range parser
+    # packs just [lo, hi) — O(block) host work per process.
+    total = native.count_pairs(input_path, n_reads)
     lo, hi = shard_range(total, process_id, n_processes)
+    pats, txts, plens, tlens = native.parse_pairs_range(
+        input_path, lo, hi - lo, cfg.read_size)
     import jax
     local = [d for d in jax.devices() if d.process_index == jax.process_index()] \
         if n_processes > 1 else jax.devices()
     sharding = pair_sharding(make_mesh(devices=local)) if len(local) > 1 else None
 
-    res = align(pats[lo:hi], txts[lo:hi], plens[lo:hi], tlens[lo:hi], cfg,
+    res = align(pats, txts, plens, tlens, cfg,
                 device_sharding=sharding)
     idx = np.arange(lo, hi, dtype=np.int32)  # global pair idx (file order)
     part = output_path + (f".part{process_id}" if n_processes > 1 else "")

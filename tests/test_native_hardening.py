@@ -86,3 +86,54 @@ def test_wfa_steps_to_ops_malformed_records():
     assert (e == pl + tl).all()
     assert sc[3] == smax + 1
     assert ops[3, b[3]:e[3]].tobytes() == b"M"
+
+
+def test_parse_pairs_range_matches_full(tmp_path):
+    """Range parser == full parse on every window, incl. ragged tails,
+    missing trailing newline, and the fatal READ_SIZE line number."""
+    import os
+    p = tmp_path / "pairs.txt"
+    lines = []
+    rng = __import__("random").Random(5)
+    seqs = []
+    for i in range(7):
+        a = "".join(rng.choice("ACGT") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 12)))
+        seqs.append((a, b))
+        lines += [">" + a, "<" + b]
+    p.write_text("\n".join(lines) + "\n")
+    full = nat.parse_pairs(str(p), 100, 16)
+    assert len(full[2]) == 7
+    for start in range(0, 9):
+        for count in range(0, 9):
+            sub = nat.parse_pairs_range(str(p), start, count, 16)
+            got = len(sub[2])
+            assert got == max(0, min(count, 7 - start))
+            for j in range(got):
+                np.testing.assert_array_equal(sub[0][j], full[0][start + j])
+                np.testing.assert_array_equal(sub[1][j], full[1][start + j])
+                assert sub[2][j] == full[2][start + j]
+                assert sub[3][j] == full[3][start + j]
+    assert nat.count_pairs(str(p), 100) == 7
+    assert nat.count_pairs(str(p), 3) == 3
+
+    # no trailing newline: getline-style length drops the final char,
+    # identically in both parsers
+    p2 = tmp_path / "pairs2.txt"
+    p2.write_text(">ACGT\n<TTAA")
+    f2 = nat.parse_pairs(str(p2), 10, 16)
+    r2 = nat.parse_pairs_range(str(p2), 0, 10, 16)
+    np.testing.assert_array_equal(f2[1], r2[1])
+    assert list(f2[3]) == list(r2[3]) == [3]
+    assert nat.count_pairs(str(p2), 10) == 1
+
+    # fatal READ_SIZE reject: same global line number from both parsers,
+    # also when the seek phase skipped past earlier pairs
+    p3 = tmp_path / "pairs3.txt"
+    p3.write_text(">AA\n<CC\n>" + "A" * 40 + "\n<GG\n")
+    import pytest
+    with pytest.raises(ValueError, match="line 4"):
+        nat.parse_pairs(str(p3), 10, 16)
+    with pytest.raises(ValueError, match="line 4"):
+        nat.parse_pairs_range(str(p3), 1, 10, 16)
+    os.unlink(str(p3))
