@@ -78,10 +78,11 @@ def _div_wb(x):
 
 
 def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
-                     WR: int,
+                     WRM: int, WRE: int,
                      patw_ref, txtw_ref, lens_ref,
                      recs_ref, hist_ref,
-                     ring_ref, btb_ref, side_ref, semf, semb):
+                     ring_m, ring_i, ring_d, btb_ref, side_ref,
+                     semm, semie, semb):
     smax = cfg.max_score
     R = cfg.read_size
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
@@ -138,7 +139,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     CW = _CW  # scan window: CW words = 14*CW bases per round
     C0 = smax // WB + 1  # offset making 14*C0 - k >= 0 for all diagonals
 
-    def extend(m, act_nm, kl, kh):
+    def extend(slot_m, act_nm, kl, kh):
         """First-mismatch extension of offsets m on each live diagonal
         (ref: wfa.c:193-215), as one while-loop of CW-word scan rounds
         PER 128-lane k-chunk (no cross-chunk lockstep state: the old
@@ -216,7 +217,9 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             def wcond(st):
                 return jnp.max(st[1]) > 0
 
-        def chunk_loop(mc0, do_c, c):
+        def chunk_loop(slot_m, do_c, c):
+            sel = slice(128 * c, 128 * (c + 1))
+            mc0 = ring_m[slot_m, :, sel].astype(I32)
             kv = lio128 + (128 * c - smax)
             # pattern-alignment constants (lane-fixed): u >= 0 keeps
             # _div_wb in domain; qoff = floor(-kv/14), shp = 2*((-kv)%14)
@@ -233,27 +236,27 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             m2, _, _, nr = jax.lax.while_loop(
                 wcond, functools.partial(chunk_body, c),
                 (mc0, do_c.astype(I32), pwl0, jnp.int32(0)))
-            return m2, nr
+            # extended offsets land straight in the ring slot (no
+            # full-width concat/copy; untouched chunks keep their values)
+            ring_m[slot_m, :, sel] = m2.astype(I16)
+            return nr
 
-        out, nround_tot = [], jnp.int32(0)
+        nround_tot = jnp.int32(0)
         for c in range(NC):
             sel = slice(128 * c, 128 * (c + 1))
-            mc0 = m[:, sel]
+            mc0 = ring_m[slot_m, :, sel].astype(I32)
             kv = lio128 + (128 * c - smax)
             do_c = act_nm & (kl <= kv) & (kv <= kh) \
                 & (mc0 >= 0) & (mc0 < R + 2)
             if NC == 1:
-                mc2, nr = chunk_loop(mc0, do_c, c)
+                nr = chunk_loop(slot_m, do_c, c)
             else:
-                mc2, nr = jax.lax.cond(
+                nr = jax.lax.cond(
                     jnp.max(do_c.astype(I32)) > 0,
-                    lambda mc0=mc0, do_c=do_c, c=c:
-                        chunk_loop(mc0, do_c, c),
-                    lambda mc0=mc0: (mc0, jnp.int32(0)))
-            out.append(mc2)
+                    lambda do_c=do_c, c=c: chunk_loop(slot_m, do_c, c),
+                    lambda: jnp.int32(0))
             nround_tot = nround_tot + nr
-        m = out[0] if NC == 1 else jnp.concatenate(out, axis=1)
-        return m, nround_tot, jnp.int32(0)
+        return nround_tot
 
     # ---------------- side (klo/khi/flags) ----------------
     lio8 = jax.lax.broadcasted_iota(I32, (P, 8), 1)
@@ -261,10 +264,10 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     def side_pack(kl, kh, fl):
         row = jnp.where(lio8 == 0, kl, 0)
         row = jnp.where(lio8 == 1, kh, row)
-        return jnp.where(lio8 == 2, fl, row)
+        return jnp.where(lio8 == 2, fl, row).astype(I16)
 
     def side_read(s):
-        row = side_ref[jnp.maximum(s, 0)]
+        row = side_ref[jnp.maximum(s, 0)].astype(I32)
         neg = s < 0
         kl = jnp.where(neg, 1, row[:, 0:1])
         kh = jnp.where(neg, -1, row[:, 1:2])
@@ -272,9 +275,9 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         return kl, kh, fl
 
     # ---------------- init: score 0 ----------------
-    ring_ref[0, 0] = jnp.where(kvec == 0, 0, NULL).astype(I16)
-    ring_ref[0, 1] = nullk
-    ring_ref[0, 2] = nullk
+    ring_m[0] = jnp.where(kvec == 0, 0, NULL).astype(I16)
+    ring_i[0] = nullk
+    ring_d[0] = nullk
     side_ref[0] = side_pack(jnp.zeros((P, 1), I32), jnp.zeros((P, 1), I32),
                             jnp.full((P, 1), 1 | (1 << 2) | (1 << 3), I32))
 
@@ -282,46 +285,109 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     def fwd_body(state):
         s, active_i, scores, diag = state
         active = active_i > 0
-        slot = jax.lax.rem(s, WR)
-        m = ring_ref[slot, 0].astype(I32)
+        slot_m1 = jax.lax.rem(s, WRM)
+        slot_e1 = jax.lax.rem(s, WRE)
         kl, kh, fl = side_read(s)
         exists = (fl & 1) == 1
         m_null = ~exists | (((fl >> 1) & 1) == 1)
-        inr = (kl <= kvec) & (kvec <= kh)
 
         # extend masks per chunk internally (active & ~m_null & in-band
-        # & offset-in-range); untouched lanes pass through unchanged
+        # & offset-in-range) and writes the extended offsets straight
+        # back into ring_m[slot_m1]; untouched lanes keep their values
         if "extend" in _ABLATE:
-            offi, ext_rounds = m, jnp.int32(0)
+            ext_rounds = jnp.int32(0)
         else:
-            offi, ext_rounds, _ = extend(m, active & ~m_null, kl, kh)
-        ring_ref[slot, 0] = offi.astype(I16)
+            ext_rounds = extend(slot_m1, active & ~m_null, kl, kh)
         # spill score s to the HBM history (post-extend m; i/d unchanged)
         if "spill" not in _ABLATE:
-            for c in range(3):
-                cp = pltpu.make_async_copy(ring_ref.at[slot, c],
-                                           hist_ref.at[c, s],
-                                           semf.at[slot, c])
-                cp.start()
+            pltpu.make_async_copy(ring_m.at[slot_m1], hist_ref.at[0, s],
+                                  semm.at[slot_m1]).start()
+            pltpu.make_async_copy(ring_i.at[slot_e1], hist_ref.at[1, s],
+                                  semie.at[slot_e1, 0]).start()
+            pltpu.make_async_copy(ring_d.at[slot_e1], hist_ref.at[2, s],
+                                  semie.at[slot_e1, 1]).start()
+
+        # Live chunk window of the CURRENT band [kl, kh] (union over
+        # non-null pairs) — the reduce/exit-check passes below only touch
+        # those chunks (the full-Kp plane work here was ~1/3 of the step
+        # cost at 10 kbp with a 1-2 chunk live band).
+        kl_u = jnp.min(jnp.where(m_null, BIG,
+                                 jnp.broadcast_to(kl, (P, 128))))
+        kh_u = jnp.max(jnp.where(m_null, -BIG,
+                                 jnp.broadcast_to(kh, (P, 128))))
+        c_lo1 = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
+        c_hi1 = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
+
+        def chunk_dist(c):
+            """Chunk-local (kv, offset, distance-to-go, in-band mask)."""
+            kv = lio128 + (128 * c - smax)
+            oc = ring_m[slot_m1, :, 128 * c:128 * (c + 1)].astype(I32)
+            inr_c = (kl <= kv) & (kv <= kh)
+            dist = jnp.maximum(plens - (oc - kv), tlens - oc)
+            return kv, oc, inr_c, dist
+
+        def gated(fn, acc):
+            out = acc
+            for c in range(NC):
+                if NC == 1:
+                    out = fn(c, out)
+                else:
+                    out = jax.lax.cond((c >= c_lo1) & (c <= c_hi1),
+                                       functools.partial(fn, c),
+                                       lambda a: a, out)
+            return out
+
+        # pass A: min distance-to-go over the band (adaptive heuristic)
+        # and the offset at the arrival diagonal (exit check), fused
+        def pass_a(c, acc):
+            mind_acc, mak_acc = acc
+            kv, oc, inr_c, dist = chunk_dist(c)
+            mind_c = jnp.min(jnp.where(inr_c, dist, BIG), axis=1,
+                             keepdims=True)
+            at_ak_c = (kv == ak) & (kv <= smax)
+            mak_c = jnp.sum(jnp.where(at_ak_c, oc, 0), axis=1,
+                            keepdims=True)
+            return jnp.minimum(mind_acc, mind_c), mak_acc + mak_c
+
+        if "reduce_full" in _ABLATE:   # dev A/B: ungated full-width passes
+            def gated(fn, acc):
+                for c in range(NC):
+                    acc = fn(c, acc)
+                return acc
+
+        mind_raw, m_at_ak = gated(pass_a, (jnp.full((P, 1), BIG, I32),
+                                           jnp.zeros((P, 1), I32)))
 
         if cfg.adaptive and "reduce" not in _ABLATE:
             width = kh - kl + 1
             do_red = active & ~m_null & (width >= 10)
-            v = offi - kvec
-            dist = jnp.maximum(plens - v, tlens - offi)
-            dmask = jnp.where(inr, dist, BIG)
-            mind = jnp.minimum(jnp.min(dmask, axis=1, keepdims=True),
-                               jnp.maximum(plens, tlens))
-            keep = (dist - mind) <= 50
+            mind = jnp.minimum(mind_raw, jnp.maximum(plens, tlens))
             top_limit = jnp.minimum(ak - 1, kh)
-            cand_lo = jnp.where((kvec >= kl) & (kvec < top_limit) & keep,
-                                kvec, BIG)
-            fk = jnp.min(cand_lo, axis=1, keepdims=True)
+
+            # pass B: outermost kept diagonals.  lk is a max over the
+            # SUPERSET (ak < kv <= kh) of the reference's
+            # (bottom_limit < kv <= kh) — extras lie in (ak,
+            # bottom_limit], so max(lk, bottom_limit) is unchanged and
+            # one pass suffices (bottom_limit depends on the global fk).
+            def pass_b(c, acc):
+                fk_acc, lk_acc = acc
+                kv, oc, inr_c, dist = chunk_dist(c)
+                keep = (dist - mind) <= 50
+                cand_lo = jnp.where((kv >= kl) & (kv < top_limit) & keep,
+                                    kv, BIG)
+                cand_hi = jnp.where((kv <= kh) & (kv > ak) & keep,
+                                    kv, -BIG)
+                return (jnp.minimum(fk_acc,
+                                    jnp.min(cand_lo, axis=1,
+                                            keepdims=True)),
+                        jnp.maximum(lk_acc,
+                                    jnp.max(cand_hi, axis=1,
+                                            keepdims=True)))
+
+            fk, lk = gated(pass_b, (jnp.full((P, 1), BIG, I32),
+                                    jnp.full((P, 1), -BIG, I32)))
             klo_new = jnp.maximum(kl, jnp.minimum(fk, top_limit))
             bottom_limit = jnp.maximum(ak + 1, klo_new)
-            cand_hi = jnp.where((kvec <= kh) & (kvec > bottom_limit) & keep,
-                                kvec, -BIG)
-            lk = jnp.max(cand_hi, axis=1, keepdims=True)
             khi_new = jnp.minimum(kh, jnp.maximum(lk, bottom_limit))
             nullify = do_red & (klo_new > khi_new)
             shrink = do_red & ~nullify
@@ -330,27 +396,32 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             fl = jnp.where(nullify, fl | 0b1110, fl)
             side_ref[s] = side_pack(kl, kh, fl)
             m_null = m_null | nullify
-            inr = (kl <= kvec) & (kvec <= kh)
 
-        at_ak = (kvec == ak) & lane_valid
-        m_at_ak = jnp.sum(jnp.where(at_ak, offi, 0), axis=1, keepdims=True)
         er = active & ~m_null & (kl <= ak) & (ak <= kh) & (m_at_ak >= tlens)
         scores = jnp.where(er, s, scores)
         active = active & ~er
 
-        # ---- compute score s+1 (ring reads within the WR window) ----
+        # ---- compute score s+1 (ring reads within the window) ----
         s2 = s + 1
-        slot2 = jax.lax.rem(s2, WR)
-        # the ring slot we are about to overwrite must have finished its
-        # spill of score s2 - WR
+        slot2m = jax.lax.rem(s2, WRM)
+        slot2e = jax.lax.rem(s2, WRE)
+        # a ring slot about to be overwritten must have finished its
+        # spill (of score s2 - depth)
         if "spill" not in _ABLATE:
-            @pl.when(s2 >= WR)
+            @pl.when(s2 >= WRM)
             def _():
-                for c in range(3):
+                pltpu.make_async_copy(
+                    ring_m.at[slot2m],
+                    hist_ref.at[0, jnp.maximum(s2 - WRM, 0)],
+                    semm.at[slot2m]).wait()
+
+            @pl.when(s2 >= WRE)
+            def _():
+                for c in range(2):
                     pltpu.make_async_copy(
-                        ring_ref.at[slot2, c],
-                        hist_ref.at[c, jnp.maximum(s2 - WR, 0)],
-                        semf.at[slot2, c]).wait()
+                        (ring_i if c == 0 else ring_d).at[slot2e],
+                        hist_ref.at[c + 1, jnp.maximum(s2 - WRE, 0)],
+                        semie.at[slot2e, c]).wait()
 
         l_sub, h_sub, f_sub = side_read(s2 - x)
         l_o, h_o, f_o = side_read(s2 - go - ge)
@@ -373,9 +444,9 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         lo = jnp.minimum(jnp.minimum(sub_lo, o_lo), e_lo) - 1
         hi_ = jnp.maximum(jnp.maximum(sub_hi, o_hi), e_hi) + 1
 
-        slot_sub = jax.lax.rem(jnp.maximum(s2 - x, 0), WR)
-        slot_o = jax.lax.rem(jnp.maximum(s2 - go - ge, 0), WR)
-        slot_e = jax.lax.rem(jnp.maximum(s2 - ge, 0), WR)
+        slot_sub = jax.lax.rem(jnp.maximum(s2 - x, 0), WRM)
+        slot_o = jax.lax.rem(jnp.maximum(s2 - go - ge, 0), WRM)
+        slot_e = jax.lax.rem(jnp.maximum(s2 - ge, 0), WRE)
 
         # Scalar chunk bounds of the NEW band [lo, hi] (union over pairs;
         # empty when every pair is allnull) — only those 128-lane chunks
@@ -397,23 +468,23 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             # fresh chunk-local iota — slicing kvec (sublane-replicated
             # layout) inside scf.while SIGABRTs Mosaic's layout pass
             kv = lio128 + (128 * c - smax)
-            mw_sub = ring_ref[slot_sub, 0, :, sel].astype(I32)
-            mw_o = ring_ref[slot_o, 0, :, sel].astype(I32)
-            iw_e = ring_ref[slot_e, 1, :, sel].astype(I32)
-            dw_e = ring_ref[slot_e, 2, :, sel].astype(I32)
+            mw_sub = ring_m[slot_sub, :, sel].astype(I32)
+            mw_o = ring_m[slot_o, :, sel].astype(I32)
+            iw_e = ring_i[slot_e, :, sel].astype(I32)
+            dw_e = ring_d[slot_e, :, sel].astype(I32)
             # halo exchange at the chunk edges: diagonal k-1 of lane 0
             # lives in the left neighbor chunk (global lane 0 reads NULL,
             # as the full-width roll did), k+1 of lane 127 in the right
             nullc = jnp.full((P, 1), NULL, I32)
-            mo_l = ring_ref[slot_o, 0, :, 128 * c - 1:128 * c] \
+            mo_l = ring_m[slot_o, :, 128 * c - 1:128 * c] \
                 .astype(I32) if c > 0 else nullc
-            ie_l = ring_ref[slot_e, 1, :, 128 * c - 1:128 * c] \
+            ie_l = ring_i[slot_e, :, 128 * c - 1:128 * c] \
                 .astype(I32) if c > 0 else nullc
-            mo_r = ring_ref[slot_o, 0, :,
-                            128 * (c + 1):128 * (c + 1) + 1] \
+            mo_r = ring_m[slot_o, :,
+                          128 * (c + 1):128 * (c + 1) + 1] \
                 .astype(I32) if c < NC - 1 else nullc
-            de_r = ring_ref[slot_e, 2, :,
-                            128 * (c + 1):128 * (c + 1) + 1] \
+            de_r = ring_d[slot_e, :,
+                          128 * (c + 1):128 * (c + 1) + 1] \
                 .astype(I32) if c < NC - 1 else nullc
 
             def sl_c(w, wl):
@@ -444,11 +515,11 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
 
             inr_new = (lo <= kv) & (kv <= hi_)
             write = ~allnull & inr_new
-            ring_ref[slot2, 0, :, sel] = \
+            ring_m[slot2m, :, sel] = \
                 jnp.where(write, m_new, NULL).astype(I16)
-            ring_ref[slot2, 1, :, sel] = \
+            ring_i[slot2e, :, sel] = \
                 jnp.where(write & ~i_out_null, ins, NULL).astype(I16)
-            ring_ref[slot2, 2, :, sel] = \
+            ring_d[slot2e, :, sel] = \
                 jnp.where(write & ~d_out_null, dl, NULL).astype(I16)
 
         if "compute" not in _ABLATE:
@@ -482,18 +553,26 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     # Drain outstanding spills before the backtrace reads the history.
     # (dev ablation: no spills were started, so nothing to drain)
     # Spills were issued for scores 0..s_end-1; the loop body already
-    # waited scores <= s_end-WR, so the unwaited ones are the (at most
-    # WR-1) scores in [max(0, s_end+1-WR), s_end-1].
-    for d in range(WR - 1 if "spill" not in _ABLATE else 0):
-        sd = s_end - 1 - d
+    # waited scores <= s_end-depth, so the unwaited ones per ring are the
+    # (at most depth-1) scores in [max(0, s_end+1-depth), s_end-1].
+    if "spill" not in _ABLATE:
+        for d in range(WRM - 1):
+            sd = s_end - 1 - d
 
-        @pl.when((sd >= 0) & (sd >= s_end + 1 - WR))
-        def _(sd=sd):
-            slot_d = jax.lax.rem(sd, WR)
-            for c in range(3):
+            @pl.when((sd >= 0) & (sd >= s_end + 1 - WRM))
+            def _(sd=sd):
                 pltpu.make_async_copy(
-                    ring_ref.at[0, c], hist_ref.at[c, 0],
-                    semf.at[slot_d, c]).wait()
+                    ring_m.at[0], hist_ref.at[0, 0],
+                    semm.at[jax.lax.rem(sd, WRM)]).wait()
+        for d in range(WRE - 1):
+            sd = s_end - 1 - d
+
+            @pl.when((sd >= 0) & (sd >= s_end + 1 - WRE))
+            def _(sd=sd):
+                for c in range(2):
+                    pltpu.make_async_copy(
+                        ring_i.at[0], hist_ref.at[c + 1, 0],
+                        semie.at[jax.lax.rem(sd, WRE), c]).wait()
 
     # ---------------- step records ----------------
     cio = jax.lax.broadcasted_iota(I32, (P, SRp), 1)
@@ -658,25 +737,34 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     recs_ref[:, :] = recs
 
 
+def ring_depths(cfg: AlignConfig):
+    """(WRM, WRE): ring slots for the m plane (read at lags x and o+e)
+    and the i/d planes (read at lag e).  Depth >= 2 keeps a slot's spill
+    DMA disjoint from the next step's writes."""
+    WRM = max(cfg.mismatch, cfg.gap_o + cfg.gap_e, 1) + 1
+    WRE = max(cfg.gap_e, 1) + 1
+    return WRM, WRE
+
+
 def long_tile_pairs(cfg: AlignConfig):
     """Largest pair tile whose buffers + estimated compiler stack fit the
     16 MB VMEM budget (the stack term is calibrated against measured
-    scoped-vmem OOMs: the extend/backtrace bodies keep ~40 [P, Kp] i32
-    planes live), or None."""
+    scoped-vmem OOMs: the backtrace keeps ~15 [P, Kp] i32 planes live;
+    the chunked forward adds ~40 [P, 128] ones), or None."""
     smax = cfg.max_score
     R = cfg.read_size
     if smax > 1023 or R + 2 > 0x3FFF or R + smax + 2 >= 32767:
         return None
     Kp = _round_up(2 * smax + 1, 128)
     Wp = _round_up(-(-(R + 2) // WB), 128)
-    WR = max(cfg.mismatch, cfg.gap_o + cfg.gap_e) + 1
-    for P in (64, 32, 16, 8):
-        ring = WR * 3 * P * Kp * 2
+    WRM, WRE = ring_depths(cfg)
+    for P in (64, 48, 32, 16, 8):
+        ring = (WRM + 2 * WRE) * P * Kp * 2
         btb = 2 * 5 * P * Kp * 2
         seqs = 2 * P * Wp * 4
-        side = (smax + 2) * P * 8 * 4
+        side = (smax + 2) * P * 8 * 2
         recs = 2 * P * record_cols(smax) * 4
-        stack = 40 * P * Kp * 4
+        stack = 15 * P * Kp * 4 + 40 * P * 128 * 4
         if ring + btb + seqs + side + recs + stack + 2 * 1024 * 1024 \
                 < 16 * 1024 * 1024:
             return P
@@ -725,7 +813,7 @@ def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     Wp = _round_up(-(-(R + 2) // WB), 128)
     SRp = record_cols(smax)
     S2 = smax + 2
-    WR = max(cfg.mismatch, cfg.gap_o + cfg.gap_e) + 1
+    WRM, WRE = ring_depths(cfg)
     P = long_tile_pairs(cfg)
     if P is None:
         raise ValueError("config exceeds the long-read tier's budget")
@@ -767,7 +855,8 @@ def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
                       tlens.astype(I32).reshape(T, P)], axis=2)  # [T, P, 2]
     lens = jnp.pad(lens, ((0, 0), (0, 0), (0, 126)))
 
-    kernel = functools.partial(_wfa_long_kernel, cfg, P, Kp, Wp, SRp, WR)
+    kernel = functools.partial(_wfa_long_kernel, cfg, P, Kp, Wp, SRp,
+                               WRM, WRE)
     recs, _hist = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -790,10 +879,13 @@ def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
             jax.ShapeDtypeStruct((3, S2, P, Kp), I16),
         ),
         scratch_shapes=[
-            pltpu.VMEM((WR, 3, P, Kp), I16),   # wavefront ring
+            pltpu.VMEM((WRM, P, Kp), I16),     # m wavefront ring
+            pltpu.VMEM((WRE, P, Kp), I16),     # i wavefront ring
+            pltpu.VMEM((WRE, P, Kp), I16),     # d wavefront ring
             pltpu.VMEM((2, 5, P, Kp), I16),    # backtrace row buffers
-            pltpu.VMEM((S2, P, 8), I32),       # klo/khi/flags per score
-            pltpu.SemaphoreType.DMA((WR, 3)),
+            pltpu.VMEM((S2, P, 8), I16),       # klo/khi/flags per score
+            pltpu.SemaphoreType.DMA((WRM,)),
+            pltpu.SemaphoreType.DMA((WRE, 2)),
             pltpu.SemaphoreType.DMA((2, 5)),
         ],
         interpret=interpret,
