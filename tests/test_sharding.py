@@ -155,3 +155,68 @@ def test_shard_map_long_kernel_interpret_matches_oracle():
                                  gap_e=1, max_score=10, adaptive=True,
                                  backtrace=False)
     np.testing.assert_array_equal(sc, osc)
+
+
+def test_shard_map_nw_via_api_wrapper():
+    """NW banded Pallas kernel through api.align's OWN shard_map wrapper
+    (_forward_fn's 'packed_runs' out_specs branch), interpret mode on the
+    CPU mesh — the real multi-chip NW path."""
+    from aim_tpu.api import _forward_fn
+    from tests.util import cigar_of
+    R = 40
+    pairs = random_pairs(seed=53, n=128, max_len=R - 8)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="nw", read_size=R, max_score=10, backtrace=True,
+                      gap_i=2, gap_d=3, mismatch=3, backend="pallas")
+    fwd = _forward_fn(cfg, pair_sharding(make_mesh()))
+    assert getattr(fwd, "supports_packed", False)
+    out = fwd(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+              cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl, mismatch=3,
+                                     gap_i=2, gap_d=3, backtrace=True)
+    ok = ~fb
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R)
+    for i in range(len(pairs)):
+        if ok[i]:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
+def test_shard_map_swg_via_api_wrapper():
+    """SWG banded Pallas kernel through api.align's OWN shard_map wrapper,
+    interpret mode on the CPU mesh."""
+    from aim_tpu.api import _forward_fn
+    from tests.util import cigar_of
+    R = 40
+    pairs = random_pairs(seed=59, n=128, max_len=R - 8)
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="swg", read_size=R, max_score=26, backtrace=True,
+                      match=0, mismatch=3, gap_o=4, gap_e=1,
+                      backend="pallas")
+    fwd = _forward_fn(cfg, pair_sharding(make_mesh()))
+    assert getattr(fwd, "supports_packed", False)
+    out = fwd(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+              cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.swg_align(pats, txts, pl, tl, match=0,
+                                      mismatch=3, gap_o=4, gap_e=1,
+                                      max_score=26,
+                                      cell_width=cfg.cell_width,
+                                      backtrace=True)
+    ok = ~fb
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R)
+    for i in range(len(pairs)):
+        if ok[i]:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
