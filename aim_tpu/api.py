@@ -93,9 +93,10 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     mesh = device_sharding.mesh
                     inner = fn
 
-                    out_key = {ALGO_WFA: "step_records",
-                               ALGO_GENASM: "genasm_records"}.get(
-                                   cfg.algo, "packed_runs")
+                    out_key = getattr(fn, "out_key", None) or {
+                        ALGO_WFA: "step_records",
+                        ALGO_GENASM: "genasm_records"}.get(
+                            cfg.algo, "packed_runs")
 
                     def smfn(pats, txts, plens, tlens, *, cfg, **kw):
                         def one(*args):
@@ -110,6 +111,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     smfn.supports_packed = True
                     smfn.requires_packed = getattr(fn, "requires_packed",
                                                    False)
+                    smfn.hbm_per_pair = getattr(fn, "hbm_per_pair", None)
                     return smfn
                 fn.supports_packed = True
                 return fn
@@ -183,16 +185,19 @@ def _device_memory_budget(default_bytes=2 << 30) -> int:
 
 
 def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
-                      budget_bytes=None) -> int:
+                      budget_bytes=None, per_pair=None) -> int:
     """Cap the device batch by per-pair state footprint — the HBM-tier
     analogue of the reference launchers' MRAM-fit shrink loops
-    (ref: run-nw-pim-mram.py:87-96).  The Pallas tier keeps alignment
-    state in per-tile VMEM scratch, so its HBM footprint is just the
-    packed sequences and the runs record."""
+    (ref: run-nw-pim-mram.py:87-96).  The Pallas VMEM tier keeps
+    alignment state in per-tile VMEM scratch, so its HBM footprint is
+    just the packed sequences and the runs record; HBM-streaming kernels
+    declare their real footprint via fn.hbm_per_pair (per_pair here)."""
     if budget_bytes is None:
         budget_bytes = _device_memory_budget()
     R = cfg.read_size
-    if pallas_active:
+    if per_pair is not None:
+        per = per_pair
+    elif pallas_active:
         per = 4 * R + 512
     elif cfg.algo == ALGO_WFA:
         K = 2 * cfg.max_score + 1
@@ -237,7 +242,8 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     ndev = getattr(device_sharding, "num_devices", None) or 1
     align_to = max(8, 8 * ndev)
     bs = min(cfg.batch_pairs,
-             _memory_batch_cap(cfg, getattr(fwd, "supports_packed", False)),
+             _memory_batch_cap(cfg, getattr(fwd, "supports_packed", False),
+                               per_pair=getattr(fwd, "hbm_per_pair", None)),
              -(-n // align_to) * align_to)
     bs = max(-(-bs // align_to) * align_to, align_to)
     def put(a):

@@ -1,0 +1,96 @@
+"""GenASM — long-read tier via the HBM-streamed banded kernel.
+
+This framework's GenASM semantics are anchored to NW at unit costs
+(golden/genasm.py: the reference ships GenASM only as an empty submodule,
+.gitmodules:1-3), so bounded edit distance beyond the VMEM bit-vector
+kernel's gate (k >= 27 or large R) is exactly the unit-cost instance of
+the streamed NW long kernel (ops/nwswg_pallas_long.py).  This adapter:
+
+  * runs that kernel with gap_i = gap_d = mismatch = 1;
+  * rewrites unflagged scores > k to the GenASM overflow record
+    (score k+1, single default-'M' run — the VMEM kernel's and host
+    oracle's behavior);
+  * patches half-empty pairs: GenASM scores them plen + tlen while the
+    NW record reports 0 (the framework-wide padded-pair convention);
+    their runs (pure I/D tails) are already correct.
+
+Exactness: for an UNFLAGGED pair the banded NW score is the true edit
+distance (the band argument of ops/nwswg_pallas_long.py), so both the
+<=k scores and the >k overflow rewrites are certified; flagged pairs
+fall back to the exact host GenASM oracle as usual.  The admission cap
+k <= 124 keeps balanced pairs below the band-flag bound
+(dmax = score//2 <= 62 < CL) so overflow certification stays common.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+from jax import jit
+
+from aim_tpu.config import ALGO_NW, AlignConfig
+
+from aim_tpu.ops.nwswg_pallas_long import (CL, NRL, _nwswg_long_jit,
+                                           long_fit_nwswg)
+from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _nwswg_hbm_per_pair
+
+I16 = jnp.int16
+I32 = jnp.int32
+OP_M = 0
+
+
+def _nw_cfg(cfg: AlignConfig) -> AlignConfig:
+    return AlignConfig(algo=ALGO_NW, read_size=cfg.read_size,
+                       max_score=cfg.max_score, backtrace=cfg.backtrace,
+                       gap_i=1, gap_d=1, mismatch=1, variant="hbm")
+
+
+def long_fit_genasm(cfg: AlignConfig) -> bool:
+    """Admission: k small enough that balanced pairs pass the band flag
+    (score//2 + 1 <= CL), sizes within the streamed kernel's range."""
+    return cfg.max_score <= 2 * (CL - 1) and long_fit_nwswg(_nw_cfg(cfg))
+
+
+def hbm_per_pair(cfg: AlignConfig) -> int:
+    return _nwswg_hbm_per_pair(_nw_cfg(cfg))
+
+
+@functools.partial(jit, static_argnames=("cfg", "interpret", "packed"))
+def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                     interpret: bool = False, packed: bool = False):
+    k = cfg.max_score
+    out = _nwswg_long_jit(pats, txts, plens, tlens, cfg=_nw_cfg(cfg),
+                          interpret=interpret, packed=packed)
+    runs = out["packed_runs"].astype(I32)
+    n = runs.shape[0]
+    lane = jnp.arange(NRL, dtype=I32)[None, :]
+    score = runs[:, 1:2]
+    flag = (runs[:, 0:1] >> 8) & 1
+    pl_ = plens.astype(I32)[:, None]
+    tl_ = tlens.astype(I32)[:, None]
+    half_empty = ((pl_ == 0) ^ (tl_ == 0))
+    score = jnp.where(half_empty, pl_ + tl_, score)
+    runs = jnp.where((lane == 1) & half_empty, score, runs)
+
+    # GenASM overflow: certified score > k -> k+1 with one default-M run
+    over = (score > k) & (flag == 0)
+    over_row = jnp.where(lane == 0, NRL - 2,
+                         jnp.where(lane == 1, k + 1,
+                                   jnp.where(lane == NRL - 1,
+                                             (OP_M << 12) | 1, 0)))
+    runs = jnp.where(over, jnp.broadcast_to(over_row, (n, NRL)), runs)
+    return {"packed_runs": runs.astype(I16)}
+
+
+def genasm_forward_pallas_long(pats, txts, plens, tlens, *,
+                               cfg: AlignConfig, interpret: bool = False,
+                               packed: bool = False):
+    """GenASM long-read forward (+ on-device traceback).  Same
+    {"packed_runs"} record contract as the NW/SWG kernels."""
+    return _genasm_long_jit(pats, txts, plens, tlens, cfg=cfg,
+                            interpret=interpret, packed=packed)
+
+
+genasm_forward_pallas_long.supports_packed = True
+genasm_forward_pallas_long.out_key = "packed_runs"

@@ -1,0 +1,754 @@
+"""NW / SWG — banded Pallas TPU kernels, HBM-streamed long-read tier.
+
+The VMEM tier (ops/nw_pallas.py, ops/swg_pallas.py) keeps every
+direction-code word resident, capping READ_SIZE near 2 kbp.  This tier is
+the TPU analogue of the reference's DPU-MRAM variants, which stream the
+DP row window through WRAM while the direction table lives in MRAM
+(ref: NW/DPU-MRAM/dpu/nw.c:151-237, SWG/DPU-MRAM/dpu/swg.c:151-218):
+
+  * the FORWARD kernel runs the same banded recurrence but over a grid of
+    row blocks — the mismatch bitplanes stream in and the direction-code
+    / is-match words stream out through the Pallas pipeline (XLA-managed
+    double-buffered HBM DMA, the role of the reference's MRAM
+    read/write_row calls), with only the previous-row carry in VMEM;
+  * the WALK kernel consumes the code blocks in DESCENDING row order
+    (reversed BlockSpec index map = prefetch of the next-lower block
+    while the current one is walked) and runs the same event-driven
+    run-emitting traceback; pairs whose cursor has left the current
+    block simply wait for the next grid step.
+
+Differences from the VMEM tier (everything else matches it, and through
+it the reference semantics):
+  * fixed geometry — one pair per 128-lane row (G=1, L=128), band
+    half-width C = 63;
+  * the deletion min-plus scan runs the full 7 rounds (depth 127 >= any
+    in-band chain), so the VMEM tier's truncated-chain flag is
+    unnecessary: an in-row chain cannot exceed the band width, and paths
+    leaving the band are already caught by the band flag;
+  * records carry up to 253 runs (NRL = 256; the run cursor still fits
+    the walker's 8-bit field);
+  * SWG serves the int16-cell (MRAM-variant) configs only: the int8
+    WRAM tier does not exist at these sizes in the reference either, and
+    the full-width XLA tier keeps the genuine int8 wrap semantics.
+
+Exactness: per-pair band/alias/sentinel/overflow/capacity conditions set
+needs_fallback exactly as in the VMEM tier; flagged pairs re-run on the
+host oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aim_tpu.config import ALGO_NW, AlignConfig
+
+I32 = jnp.int32
+I16 = jnp.int16
+F32 = jnp.float32
+INF = 2 ** 20
+INT16_MAX = 32767
+
+OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
+C_D, C_I, C_M, C_X = 0, 1, 2, 3          # NW 2-bit codes
+CH_D, CH_I, CH_M, CH_X = 0, 1, 2, 3      # SWG choice bits
+L_M, L_I, L_D = 0, 1, 2                  # SWG walk layers
+
+P = 128          # pairs per tile (one per sublane row)
+CL = 63          # band half-width; B = 2*CL + 1 = 127 <= 128 lanes
+BL = 2 * CL + 1
+NRL = 256        # record lanes (cursor <= 255 fits the walker's 8 bits)
+FLAG_FALLBACK = 1
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def block_rows(algo: str) -> int:
+    """Rows per streamed block (multiple of 32; SWG's 4-bit codes double
+    the code-plane footprint, so it uses half the rows)."""
+    return 512 if algo == ALGO_NW else 256
+
+
+def long_fit_nwswg(cfg: AlignConfig) -> bool:
+    """Admission: beyond the VMEM tier, up to 16 kbp reads.  SWG int8
+    (WRAM-variant) configs keep the XLA tier (genuine wrap semantics)."""
+    if cfg.algo != ALGO_NW and cfg.cell_width == 1:
+        return False
+    if cfg.algo == ALGO_NW:
+        if min(cfg.gap_i, cfg.gap_d) <= 0:
+            return False
+    else:
+        # negative match voids the band-exactness cost argument
+        # (ops/pallas_kernels.py rationale), same as the VMEM tier
+        if cfg.gap_e <= 0 or cfg.match < 0:
+            return False
+    return 2 <= cfg.read_size <= 16352
+
+
+def hbm_per_pair(cfg: AlignConfig) -> int:
+    """Per-pair HBM bytes while a batch is in flight: the streamed
+    mismatch planes (16R), code blocks (32R NW / 64R SWG), is-match
+    planes (16R), plus XLA temporaries building the planes (~2x mm).
+    api._memory_batch_cap uses this instead of the VMEM-tier constant."""
+    R = cfg.read_size
+    codes = 32 * R if cfg.algo == ALGO_NW else 64 * R
+    return 16 * R + codes + 16 * R + 48 * R + 4 * R + 1024
+
+
+def _ctz32(u):
+    lsb = (u & (0 - u)).astype(F32)
+    return ((jax.lax.bitcast_convert_type(lsb, I32) >> 23) & 0xFF) - 127
+
+
+# ===================== forward kernel =====================
+
+def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int,
+                mm_ref, lens_ref, cb_ref, ism_ref, meta_ref, car_ref):
+    """One row-block of the banded forward.  car_ref rows: 0..2 carry
+    planes (NW uses row 0), 3 score_acc, 4 ovf_acc, 5 cacc, 6 iacc."""
+    algo = cfg.algo
+    R = cfg.read_size
+    b = pl.program_id(1)
+    h0 = b * RB
+
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    b_iota = lane
+    in_band = b_iota < BL
+    plens = lens_ref[:, 0:1]
+    tlens = lens_ref[:, 1:2]
+    kend = plens - tlens
+    aliased = plens == tlens + 1
+    ramp_g = cfg.gap_d if algo == ALGO_NW else cfg.gap_e
+    ramp = b_iota * ramp_g
+    hitmask = (b_iota == kend + CL) & in_band
+    hmax = jnp.minimum(jnp.max(jnp.broadcast_to(tlens, (P, 128))), R)
+
+    def sl1(w, fill):
+        r = pltpu.roll(w, 1, 1)
+        return jnp.where(b_iota >= 1, r, fill)
+
+    def sr1(w, fill):
+        r = pltpu.roll(w, 127, 1)
+        return jnp.where(b_iota <= 126, r, fill)
+
+    # ---- row-0 / block-0 init ----
+    @pl.when(b == 0)
+    def _():
+        v0 = b_iota - CL
+        if algo == ALGO_NW:
+            gi, gd = cfg.gap_i, cfg.gap_d
+            row0 = jnp.where((v0 >= 0) & (v0 <= plens) & in_band,
+                             v0 * gd, INF)
+            row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
+                             gi, row0)
+            car_ref[0] = row0
+        else:
+            go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
+            r0_valid = (v0 >= 0) & (v0 <= plens) & in_band
+            d0 = jnp.where(v0 == 0, ms, go + v0 * ge)
+            i0 = jnp.full((P, 128), ms, I32)
+            m0 = jnp.where(v0 == 0, 0, d0)
+            at_alias = aliased & (v0 == plens) & (v0 > 0)
+            d0 = jnp.where(at_alias, ms, d0)
+            i0 = jnp.where(at_alias, go + ge, i0)
+            m0 = jnp.where(at_alias, go + ge, m0)
+            car_ref[0] = jnp.where(r0_valid, m0, INF)
+            car_ref[1] = jnp.where(r0_valid, i0, INF)
+            car_ref[2] = jnp.where(r0_valid, d0, INF)
+        zero = jnp.zeros((P, 128), I32)
+        for j in (3, 4, 5, 6):
+            car_ref[j] = zero
+
+    local_rows = jnp.clip(hmax - h0, 0, RB)
+
+    if algo == ALGO_NW:
+        gi, gd, x = cfg.gap_i, cfg.gap_d, cfg.mismatch
+
+        def fwd_body(i, carry):
+            prev, score_acc, ovf_acc, cacc, iacc = carry
+            h = h0 + i + 1
+            sub = ((mm_ref[i >> 5] >> (i & 31)) & 1) * x
+            v = b_iota + (h - CL)
+            upper = jnp.minimum(plens, tlens + CL)
+            valid = (v >= 1) & (v <= upper) & in_band
+            insv = sr1(prev, INF) + gi
+            diav = prev + sub
+            indep = jnp.minimum(insv, diav)
+            z = jnp.where(valid, indep, INF)
+            z = jnp.where((v == 0) & in_band, h * gi, z)
+            mscan = z - ramp
+            s_ = 1
+            while s_ <= 64:          # full-depth scan: 127 >= any chain
+                rolled = pltpu.roll(mscan, s_, 1)
+                mscan = jnp.minimum(mscan,
+                                    jnp.where(b_iota >= s_, rolled, INF))
+                s_ *= 2
+            cur = mscan + ramp
+            cur = jnp.where(valid | ((v == 0) & in_band), cur, INF)
+
+            live = valid & (h <= tlens)
+            ovf_acc = jnp.maximum(
+                ovf_acc, (live & (jnp.abs(cur) > INT16_MAX)).astype(I32))
+
+            if cfg.backtrace:
+                del_eq = cur == sl1(cur, INF) + gd
+                ins_eq = cur == insv
+                x_eq = cur == prev + x
+                code = jnp.where(del_eq, C_D,
+                                 jnp.where(ins_eq, C_I,
+                                           jnp.where(x_eq, C_X, C_M)))
+                shc = 2 * (i & 15)
+                cacc = jnp.where((i & 15) == 0, code << shc,
+                                 cacc | (code << shc))
+                ismb = (code == C_M).astype(I32)
+                shi = 31 - (i & 31)
+                iacc = jnp.where((i & 31) == 0, ismb << shi,
+                                 iacc | (ismb << shi))
+
+                @pl.when(((i & 15) == 15) | (i + 1 == local_rows))
+                def _():
+                    cb_ref[i >> 4] = cacc
+
+                @pl.when(((i & 31) == 31) | (i + 1 == local_rows))
+                def _():
+                    ism_ref[i >> 5] = iacc
+
+            hit = hitmask & (h == tlens)
+            score_acc = jnp.where(hit, cur, score_acc)
+            return cur, score_acc, ovf_acc, cacc, iacc
+
+        carry = (car_ref[0], car_ref[3], car_ref[4], car_ref[5], car_ref[6])
+        prev, score_acc, ovf_acc, cacc, iacc = jax.lax.fori_loop(
+            0, local_rows, fwd_body, carry)
+        car_ref[0] = prev
+    else:
+        mat, mis = cfg.match, cfg.mismatch
+        go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
+        cmax = INT16_MAX
+        margin = go + ge + max(mis, abs(mat), ge)
+
+        def fwd_body(i, carry):
+            pm, pi, pd, score_acc, ovf_acc, cacc, iacc = carry
+            h = h0 + i + 1
+            sub = mat + ((mm_ref[i >> 5] >> (i & 31)) & 1) * (mis - mat)
+            v = b_iota + (h - CL)
+            valid = (v >= 1) & (v <= plens) & in_band
+            mb = go + h * ge
+            db = jnp.where(aliased & (h >= 2), INF, ms)
+            srpm = sr1(pm, INF)
+            i_open_v = srpm + go + ge
+            i_cur = jnp.minimum(i_open_v, sr1(pi, INF) + ge)
+            i_cur = jnp.where(valid, i_cur, INF)
+            i_cur = jnp.where((v == 0) & in_band, mb, i_cur)
+            c = jnp.minimum(pm + sub, i_cur)
+            c = jnp.where(valid, c, INF)
+            c_s = sl1(c, INF)
+            m_left = sl1(jnp.where((v == 0) & in_band, mb, INF), INF)
+            z = jnp.where((v == 0) & in_band, db,
+                          jnp.where(v == 1, m_left + go + ge,
+                                    c_s + go + ge))
+            z = jnp.where(valid | ((v == 0) & in_band), z, INF)
+            mscan = z - ramp
+            s_ = 1
+            while s_ <= 64:
+                rolled = pltpu.roll(mscan, s_, 1)
+                mscan = jnp.minimum(mscan,
+                                    jnp.where(b_iota >= s_, rolled, INF))
+                s_ *= 2
+            d_cur = mscan + ramp
+            d_cur = jnp.where(valid | ((v == 0) & in_band), d_cur, INF)
+            m_cur = jnp.minimum(c, d_cur)
+            m_cur = jnp.where((v == 0) & in_band, mb, m_cur)
+            m_cur = jnp.where(valid | ((v == 0) & in_band), m_cur, INF)
+
+            live = valid & (h <= tlens)
+            mx = jnp.maximum(jnp.abs(m_cur),
+                             jnp.maximum(jnp.abs(i_cur), jnp.abs(d_cur)))
+            ovf_acc = jnp.maximum(
+                ovf_acc,
+                (live & (mx > cmax - margin) & (mx < INF // 2)).astype(I32))
+
+            if cfg.backtrace:
+                m_cur_s = sl1(m_cur, INF)
+                choice = jnp.where(
+                    m_cur == d_cur, CH_D,
+                    jnp.where(m_cur == i_cur, CH_I,
+                              jnp.where(m_cur == pm + mat, CH_M, CH_X)))
+                d_open = (d_cur == m_cur_s + go + ge).astype(I32)
+                i_open = (i_cur == i_open_v).astype(I32)
+                code = jnp.where(valid,
+                                 choice | (d_open << 2) | (i_open << 3),
+                                 CH_M)
+                shc = 4 * (i & 7)
+                cacc = jnp.where((i & 7) == 0, code << shc,
+                                 cacc | (code << shc))
+                ismb = (valid & (choice == CH_M)).astype(I32)
+                shi = 31 - (i & 31)
+                iacc = jnp.where((i & 31) == 0, ismb << shi,
+                                 iacc | (ismb << shi))
+
+                @pl.when(((i & 7) == 7) | (i + 1 == local_rows))
+                def _():
+                    cb_ref[i >> 3] = cacc
+
+                @pl.when(((i & 31) == 31) | (i + 1 == local_rows))
+                def _():
+                    ism_ref[i >> 5] = iacc
+
+            hit = hitmask & (h == tlens)
+            score_acc = jnp.where(hit, m_cur, score_acc)
+            return m_cur, i_cur, d_cur, score_acc, ovf_acc, cacc, iacc
+
+        carry = (car_ref[0], car_ref[1], car_ref[2], car_ref[3],
+                 car_ref[4], car_ref[5], car_ref[6])
+        pm, pi, pd, score_acc, ovf_acc, cacc, iacc = jax.lax.fori_loop(
+            0, local_rows, fwd_body, carry)
+        car_ref[0] = pm
+        car_ref[1] = pi
+        car_ref[2] = pd
+
+    car_ref[3] = score_acc
+    car_ref[4] = ovf_acc
+    car_ref[5] = cacc
+    car_ref[6] = iacc
+
+    # ---- per-pair score + fallback flag (final at the last block) ----
+    score = jnp.sum(score_acc, axis=1, keepdims=True)
+    score = jnp.where((plens == 0) | (tlens == 0), 0, score)
+    overflow = jnp.max(ovf_acc, axis=1, keepdims=True) > 0
+    multi_alias = plens > tlens + 1
+    if algo == ALGO_NW:
+        gi, gd = cfg.gap_i, cfg.gap_d
+        dmax = score // (gi + gd)
+        bad_band = (jnp.abs(kend) + dmax + 1) > CL
+        hs = CL + dmax + 3
+        bad_alias = aliased & (hs * gi > (plens - hs) * gd)
+        flag = (multi_alias | bad_band | bad_alias | overflow
+                | (plens > tlens + CL) | (tlens > plens + CL))
+    else:
+        go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
+        mat, mis = cfg.match, cfg.mismatch
+        cmax = INT16_MAX
+        margin = go + ge + max(mis, abs(mat), ge)
+        dmax = jnp.maximum(0, score - 2 * go) // (2 * ge) + 1
+        bad_band = (jnp.abs(kend) + dmax + 1) > CL
+        # out-of-band MS-sentinel chains (ops/swg_pallas.py rationale)
+        bad_sentinel = ((score - ms) // ge + dmax) > CL
+        hs = CL + dmax + 3
+        bad_alias = aliased & (
+            ((2 * go + (hs + 1) * ge) > (plens - hs - 1) * ge) | (mat < 0))
+        # boundary-sourced int16 wrap (candidates are cast pre-min)
+        bad_wrap = ((go + jnp.maximum(plens, tlens) * ge + margin) > cmax) \
+            | (ms + margin > cmax)
+        flag = (multi_alias | bad_band | bad_sentinel | bad_alias
+                | overflow | bad_wrap | (plens > tlens + CL)
+                | (tlens > plens + CL) | (score < 0))
+    meta = jnp.where(lane == 0, score, 0)
+    meta = jnp.where(lane == 1, flag.astype(I32), meta)
+    meta_ref[:, :] = meta
+
+
+# ===================== walk kernel =====================
+
+def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
+                 cb_ref, ism_ref, meta_ref, lens_ref,
+                 runs_ref, st_ref, racc_ref):
+    """One descending row-block of the event-driven traceback.
+    st_ref rows: 0 hcur, 1 vcur, 2 top_op, 3 top_len, 4 rc, 5 it,
+    6 layer (SWG)."""
+    algo = cfg.algo
+    R = cfg.read_size
+    b = pl.program_id(1)
+    blk = NBK - 1 - b
+    blk_lo = blk * RB
+
+    lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
+    b_iota = lane
+    rl_iota = jax.lax.broadcasted_iota(I32, (P, NRL), 1)
+    plens = lens_ref[:, 0:1]
+    tlens = lens_ref[:, 1:2]
+    RBQ = RB // 16 if algo == ALGO_NW else RB // 8
+    W32B = RB // 32
+    it_cap = (2 * R + 2) if algo == ALGO_NW else (3 * R + 4)
+
+    @pl.when(b == 0)
+    def _():
+        st_ref[0] = jnp.broadcast_to(tlens, (P, 128))
+        st_ref[1] = jnp.broadcast_to(plens, (P, 128))
+        zero = jnp.zeros((P, 128), I32)
+        st_ref[2] = zero
+        st_ref[3] = zero
+        st_ref[4] = jnp.full((P, 128), NRL - 1, I32)
+        st_ref[5] = zero
+        st_ref[6] = zero
+        racc_ref[:, :] = jnp.zeros((P, NRL), I32)
+
+    def seg_at(arr, pos):
+        return jnp.take_along_axis(arr, jnp.clip(pos, 0, 127), axis=1)
+
+    def ladder(ref, nq, qvec):
+        out = jnp.zeros((P, 128), I32)
+        for q in range(nq):
+            out = jnp.where(qvec == q, ref[q], out)
+        return out
+
+    def emit_merge(st, mask, op, length):
+        runs, rc, top_op, top_len = st
+        do = mask & (length > 0)
+        can = do & (top_len > 0) & (top_op == op) \
+            & (top_len + length <= 4095) & (rc < NRL - 1)
+        top_len2 = jnp.where(can, top_len + length, top_len)
+        push = do & ~can
+        val_old = (top_op << 12) | top_len
+        # broadcast the push decision + value to the record plane
+        runs = jnp.where((rl_iota == seg_at_r(rc, push) + 1)
+                         & bmask(push & (top_len > 0) & (rc + 1 >= 2)
+                                 & (rc + 1 <= NRL - 1)),
+                         bval(val_old), runs)
+        top_op = jnp.where(push, op, top_op)
+        top_len2 = jnp.where(push, jnp.minimum(length, 4095), top_len2)
+        rc = jnp.where(push, rc - 1, rc)
+        return runs, rc, top_op, top_len2
+
+    # The record plane is (P, NRL) while the walk state planes are
+    # (P, 128) broadcast; emit decisions/values are uniform per pair, so
+    # lane 0 carries them across.
+    def bmask(m):            # (P, 128) bool -> (P, NRL) bool via lane 0
+        return jnp.broadcast_to(m[:, 0:1], (P, NRL))
+
+    def bval(v):             # (P, 128) i32 -> (P, NRL) broadcast
+        return jnp.broadcast_to(v[:, 0:1], (P, NRL))
+
+    def seg_at_r(v, _m):     # per-pair scalar -> (P, NRL) broadcast
+        return jnp.broadcast_to(v[:, 0:1], (P, NRL))
+
+    def emit_flush(st):
+        runs, rc, top_op, top_len = st
+        val = (top_op << 12) | top_len
+        runs = jnp.where((rl_iota == seg_at_r(rc, None) + 1)
+                         & bmask((top_len > 0) & (rc + 1 >= 2)
+                                 & (rc + 1 <= NRL - 1)),
+                         bval(val), runs)
+        return runs, rc
+
+    if cfg.backtrace:
+        if algo == ALGO_NW:
+            def bt_cond(st):
+                it, hcur, vcur = st[0], st[1], st[2]
+                act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
+                return (jnp.max((it < it_cap).astype(I32) *
+                                act.astype(I32)) > 0)
+
+            def bt_body(st):
+                it, hcur, vcur, layer, runs, rc, top_op, top_len = st
+                act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
+                hm1 = jnp.maximum(hcur - 1 - blk_lo, 0)   # block-local
+                crow = (ladder(cb_ref, RBQ, hm1 >> 4)
+                        >> (2 * (hm1 & 15))) & 3
+                nd = jnp.where(crow != C_D, b_iota, -1)
+                pm = nd
+                s_ = 1
+                while s_ <= 64:
+                    rolled = pltpu.roll(pm, s_, 1)
+                    pm = jnp.maximum(pm,
+                                     jnp.where(b_iota >= s_, rolled, -1))
+                    s_ *= 2
+                bb = vcur - hcur + CL
+                pm_b = seg_at(pm, bb)
+                dlen = jnp.where(act, jnp.minimum(bb - pm_b, vcur), 0)
+                st2 = emit_merge((runs, rc, top_op, top_len), act, OP_D,
+                                 dlen)
+                vcur = vcur - dlen
+                act2 = act & (vcur > 0)
+                b2 = vcur - hcur + CL
+                code2 = seg_at(crow, b2)
+                is_i = act2 & (code2 == C_I)
+                is_x = act2 & (code2 == C_X)
+                is_m = act2 & (code2 == C_M)
+                pos = hm1 & 31
+                iw = seg_at(ladder(ism_ref, W32B, hm1 >> 5), b2)
+                u = (~(iw >> (31 - pos))) & \
+                    jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
+                mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
+                mrun = jnp.where(is_m,
+                                 jnp.minimum(mrun,
+                                             jnp.minimum(vcur, hcur)), 0)
+                one = jnp.ones((P, 128), I32)
+                op_sel = jnp.where(is_i, OP_I,
+                                   jnp.where(is_m, OP_M, OP_X))
+                length = jnp.where(is_m, mrun, one)
+                runs, rc, top_op, top_len = emit_merge(
+                    st2, is_i | is_m | is_x, op_sel, length)
+                hcur = hcur - jnp.where(is_i | is_x, 1, mrun)
+                vcur = vcur - jnp.where(is_x, 1, mrun)
+                return (it + 1, hcur, vcur, layer, runs, rc, top_op,
+                        top_len)
+        else:
+            def bt_cond(st):
+                it, hcur, vcur = st[0], st[1], st[2]
+                act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
+                return (jnp.max((it < it_cap).astype(I32) *
+                                act.astype(I32)) > 0)
+
+            def bt_body(st):
+                it, hcur, vcur, layer, runs, rc, top_op, top_len = st
+                act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
+                hm1 = jnp.maximum(hcur - 1 - blk_lo, 0)
+                crow = (ladder(cb_ref, RBQ, hm1 >> 3)
+                        >> (4 * (hm1 & 7))) & 0xF
+                choice = crow & 3
+                dopen = (crow >> 2) & 1
+                iopen = (crow >> 3) & 1
+                bb = vcur - hcur + CL
+                one = jnp.ones((P, 128), I32)
+
+                in_i = act & (layer == L_I)
+                runs, rc, top_op, top_len = emit_merge(
+                    (runs, rc, top_op, top_len), in_i, OP_I, one)
+                io_here = seg_at(iopen, bb)
+                layer = jnp.where(in_i & (io_here == 1), L_M, layer)
+
+                in_m = act & (layer == L_M) & ~in_i
+                ch = seg_at(choice, bb)
+                is_d = in_m & (ch == CH_D)
+                pmd = jnp.where(dopen == 1, b_iota, -1)
+                s_ = 1
+                while s_ <= 64:
+                    rolled = pltpu.roll(pmd, s_, 1)
+                    pmd = jnp.maximum(pmd,
+                                      jnp.where(b_iota >= s_, rolled, -1))
+                    s_ *= 2
+                pmd_b = seg_at(pmd, bb)
+                dlen = jnp.where(is_d, bb - pmd_b + 1, 0)
+                capped = is_d & (dlen >= vcur)
+                dlen = jnp.minimum(dlen, vcur)
+                runs, rc, top_op, top_len = emit_merge(
+                    (runs, rc, top_op, top_len), is_d, OP_D, dlen)
+                layer = jnp.where(capped, L_D, layer)
+
+                is_i = in_m & (ch == CH_I)
+                is_x = in_m & (ch == CH_X)
+                is_m = in_m & (ch == CH_M)
+                pos = hm1 & 31
+                iw = seg_at(ladder(ism_ref, W32B, hm1 >> 5), bb)
+                u = (~(iw >> (31 - pos))) & \
+                    jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
+                mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
+                mrun = jnp.where(is_m,
+                                 jnp.minimum(mrun,
+                                             jnp.minimum(vcur, hcur)), 0)
+                op_sel = jnp.where(is_i, OP_I,
+                                   jnp.where(is_m, OP_M, OP_X))
+                length = jnp.where(is_m, mrun, one)
+                runs, rc, top_op, top_len = emit_merge(
+                    (runs, rc, top_op, top_len), is_i | is_m | is_x,
+                    op_sel, length)
+                io_h = seg_at(iopen, bb)
+                layer = jnp.where(is_i,
+                                  jnp.where(io_h == 1, L_M, L_I), layer)
+                hcur = hcur - jnp.where(in_i | is_i | is_x, 1, mrun)
+                vcur = vcur - jnp.where(is_x, 1, dlen + mrun)
+                return (it + 1, hcur, vcur, layer, runs, rc, top_op,
+                        top_len)
+
+        st0 = (st_ref[5], st_ref[0], st_ref[1], st_ref[6],
+               racc_ref[:, :], st_ref[4], st_ref[2], st_ref[3])
+        it, hcur, vcur, layer, runs, rc, top_op, top_len = \
+            jax.lax.while_loop(bt_cond, bt_body, st0)
+        st_ref[0] = hcur
+        st_ref[1] = vcur
+        st_ref[2] = top_op
+        st_ref[3] = top_len
+        st_ref[4] = rc
+        st_ref[5] = it
+        st_ref[6] = layer
+        racc_ref[:, :] = runs
+
+    @pl.when(b == NBK - 1)
+    def _():
+        hcur = st_ref[0]
+        vcur = st_ref[1]
+        top_op = st_ref[2]
+        top_len = st_ref[3]
+        rc = st_ref[4]
+        runs = racc_ref[:, :]
+        score = jnp.broadcast_to(meta_ref[:, 0:1], (P, 128))
+        flag = meta_ref[:, 1:2] > 0
+        if cfg.backtrace:
+            flag = flag | ((hcur[:, 0:1] > 0) & (vcur[:, 0:1] > 0))
+            # tails can exceed the 12-bit run length at long reads:
+            # emit them in <=4095 chunks (each chunk pushes its own run)
+            st2 = (runs, rc, top_op, top_len)
+            hrem, vrem = hcur, vcur
+            for _ in range(-(-16352 // 4095)):
+                hc = jnp.clip(hrem, 0, 4095)
+                st2 = emit_merge(st2, hc > 0, OP_I, hc)
+                hrem = hrem - hc
+            for _ in range(-(-16352 // 4095)):
+                vc = jnp.clip(vrem, 0, 4095)
+                st2 = emit_merge(st2, vc > 0, OP_D, vc)
+                vrem = vrem - vc
+            runs, rc = emit_flush(st2)
+            flag = flag | (rc[:, 0:1] < 1)
+        flagb = jnp.broadcast_to(flag, (P, 128))
+        lane0 = jnp.clip(rc, 0, 255) | (flagb.astype(I32) << 8)
+        out = runs
+        out = jnp.where(rl_iota == 0, bval(lane0), out)
+        out = jnp.where(rl_iota == 1,
+                        bval(jnp.clip(score, -32768, 32767)), out)
+        runs_ref[:, :] = out.astype(I16)
+
+
+# ===================== host glue =====================
+
+def _mm_blocks(pats, txts, R, RB, NBK, T):
+    """Banded mismatch bitplanes, built per row block to bound the XLA
+    intermediates: [T, NBK, RB//32, P, 128] i32, bit j of word w at
+    (block k, lane b) = pat[b - CL + h - 1] != txt[h - 1] for
+    h = k*RB + 32*w + j + 1."""
+    n = pats.shape[0]
+    Rp = NBK * RB
+    if pats.shape[1] < Rp:
+        pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
+        txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
+    patp = jnp.pad(pats.astype(I32), ((0, 0), (CL, BL)),
+                   constant_values=-1)
+    txtc = txts.astype(I32)
+    blocks = []
+    for k in range(NBK):
+        t_blk = txtc[:, k * RB:(k + 1) * RB]
+        cols = [(patp[:, k * RB + b:k * RB + b + RB] != t_blk)
+                for b in range(BL)]
+        mm = jnp.stack(cols, axis=2)                 # [n, RB, BL]
+        mm = jnp.pad(mm, ((0, 0), (0, 0), (0, 128 - BL)))
+        mm = mm.astype(I32).reshape(n, RB // 32, 32, 128)
+        mm = (mm << jnp.arange(32, dtype=I32)[None, None, :, None]) \
+            .sum(axis=2)                             # [n, RB//32, 128]
+        blocks.append(mm)
+    mm = jnp.stack(blocks, axis=1)                   # [n, NBK, RB//32, 128]
+    return mm.reshape(T, P, NBK, RB // 32, 128).transpose(0, 2, 3, 1, 4)
+
+
+def _unpack2(seq, R):
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    u = ((seq[:, :, None] >> shifts) & 3).reshape(seq.shape[0], -1)
+    return u[:, :R]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
+                    interpret: bool = False, packed: bool = False):
+    algo = cfg.algo
+    R = cfg.read_size
+    RB = block_rows(algo)
+    NBK = _round_up(R, RB) // RB
+    RBQ = RB // 16 if algo == ALGO_NW else RB // 8
+    n = pats.shape[0]
+    if packed:
+        pats = _unpack2(pats, R)
+        txts = _unpack2(txts, R)
+
+    n_orig = n
+    if n % P:
+        padn = _round_up(n, P) - n
+        pats = jnp.pad(pats, ((0, padn), (0, 0)))
+        txts = jnp.pad(txts, ((0, padn), (0, 0)))
+        plens = jnp.pad(plens, (0, padn))
+        tlens = jnp.pad(tlens, (0, padn))
+        n = n + padn
+    T = n // P
+
+    mm = _mm_blocks(pats, txts, R, RB, NBK, T)
+    lens = jnp.stack([plens.astype(I32).reshape(T, P),
+                      tlens.astype(I32).reshape(T, P)], axis=2)
+    lens = jnp.pad(lens, ((0, 0), (0, 0), (0, 126)))
+
+    fwd = functools.partial(_fwd_kernel, cfg, NBK, RB)
+    cb, ism, meta = pl.pallas_call(
+        fwd,
+        grid=(T, NBK),
+        in_specs=[
+            pl.BlockSpec((None, None, RB // 32, P, 128),
+                         lambda t, b: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, None, RBQ, P, 128),
+                         lambda t, b: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, RB // 32, P, 128),
+                         lambda t, b: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, NBK, RBQ, P, 128), I32),
+            jax.ShapeDtypeStruct((T, NBK, RB // 32, P, 128), I32),
+            jax.ShapeDtypeStruct((T, P, 128), I32),
+        ),
+        scratch_shapes=[pltpu.VMEM((7, P, 128), I32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(mm, lens)
+
+    if not cfg.backtrace:
+        scores = meta[:, :, 0].reshape(n)
+        flags = meta[:, :, 1].reshape(n)
+        lane0 = jnp.full((n,), NRL - 1, I32) | ((flags > 0).astype(I32) << 8)
+        runs = jnp.zeros((n, NRL), I32)
+        runs = runs.at[:, 0].set(lane0)
+        runs = runs.at[:, 1].set(jnp.clip(scores, -32768, 32767))
+        return {"packed_runs": runs[:n_orig].astype(I16)}
+
+    walk = functools.partial(_walk_kernel, cfg, NBK, RB)
+    runs = pl.pallas_call(
+        walk,
+        grid=(T, NBK),
+        in_specs=[
+            pl.BlockSpec((None, None, RBQ, P, 128),
+                         lambda t, b: (t, NBK - 1 - b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, RB // 32, P, 128),
+                         lambda t, b: (t, NBK - 1 - b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, P, NRL), lambda t, b: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, P, NRL), I16),
+        scratch_shapes=[
+            pltpu.VMEM((7, P, 128), I32),
+            pltpu.VMEM((P, NRL), I32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(cb, ism, meta, lens)
+    return {"packed_runs": runs.reshape(n, NRL)[:n_orig]}
+
+
+def nwswg_forward_pallas_long(pats, txts, plens, tlens, *,
+                              cfg: AlignConfig, interpret: bool = False,
+                              packed: bool = False):
+    """NW/SWG long-read forward (+ on-device traceback), HBM-streamed
+    tier.  Same record contract as the VMEM kernels: {"packed_runs":
+    [n, NRL] i16}, lane0 = cursor | flags << 8, lane1 = score, runs in
+    lanes cursor+1..NRL-1 (host: native.wfa_runs_to_ops)."""
+    return _nwswg_long_jit(pats, txts, plens, tlens, cfg=cfg,
+                           interpret=interpret, packed=packed)
+
+
+nwswg_forward_pallas_long.supports_packed = True

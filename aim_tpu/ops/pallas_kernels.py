@@ -53,6 +53,21 @@ def forward_fn(cfg: AlignConfig):
 
             fn.requires_packed = True
             return fn
+
+        # Long-read tier: GenASM == NW at unit costs here, served by the
+        # HBM-streamed banded kernel through an overflow-rewrite adapter.
+        from aim_tpu.ops.genasm_long import (genasm_forward_pallas_long,
+                                             hbm_per_pair as genasm_hbm,
+                                             long_fit_genasm)
+
+        if long_fit_genasm(cfg):
+            def fn(*args, **kw):
+                return genasm_forward_pallas_long(*args, **kw)
+
+            fn.requires_packed = True
+            fn.out_key = "packed_runs"
+            fn.hbm_per_pair = genasm_hbm(cfg)
+            return fn
     if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_pallas import nw_forward_pallas, vmem_fit_nw
 
@@ -60,6 +75,19 @@ def forward_fn(cfg: AlignConfig):
             def fn(*args, **kw):
                 return nw_forward_pallas(*args, **kw)
 
+            return fn
+
+        # Long-read tier: direction codes streamed through HBM by the
+        # grid pipeline (the DPU-MRAM analogue, NW/DPU-MRAM/dpu/nw.c).
+        from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
+                                                   long_fit_nwswg,
+                                                   nwswg_forward_pallas_long)
+
+        if long_fit_nwswg(cfg):
+            def fn(*args, **kw):
+                return nwswg_forward_pallas_long(*args, **kw)
+
+            fn.hbm_per_pair = hbm_per_pair(cfg)
             return fn
     if cfg.algo == ALGO_SWG:
         from aim_tpu.ops.swg_pallas import (swg_forward_pallas, swg_int8_sound,
@@ -74,5 +102,18 @@ def forward_fn(cfg: AlignConfig):
             def fn(*args, **kw):
                 return swg_forward_pallas(*args, **kw)
 
+            return fn
+
+        # Long-read tier (int16 cells only — the MRAM-variant widths,
+        # SWG/DPU-MRAM/dpu/swg.c; int8 wrap semantics stay on XLA).
+        from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
+                                                   long_fit_nwswg,
+                                                   nwswg_forward_pallas_long)
+
+        if long_fit_nwswg(cfg):
+            def fn(*args, **kw):
+                return nwswg_forward_pallas_long(*args, **kw)
+
+            fn.hbm_per_pair = hbm_per_pair(cfg)
             return fn
     return None

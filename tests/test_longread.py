@@ -108,6 +108,116 @@ def test_wfa_tier_selection():
     assert forward_fn(giant) is None
 
 
+def _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.75):
+    from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,
+                                               nwswg_forward_pallas_long)
+    assert long_fit_nwswg(cfg)
+    out = nwswg_forward_pallas_long(pats, txts, pl.astype(np.int32),
+                                    tl.astype(np.int32), cfg=cfg,
+                                    interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    if cfg.algo == "nw":
+        osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl,
+                                         mismatch=cfg.mismatch,
+                                         gap_i=cfg.gap_i, gap_d=cfg.gap_d,
+                                         backtrace=True)
+    else:
+        osc, oops, ob, oe = nat.swg_align(pats, txts, pl, tl,
+                                          match=cfg.match,
+                                          mismatch=cfg.mismatch,
+                                          gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+                                          max_score=cfg.max_score,
+                                          cell_width=2, backtrace=True)
+    ok = ~fb
+    assert ok.mean() >= min_ok
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30,
+                                       max_ops=2 * cfg.read_size + 8)
+    for i in range(len(pl)):
+        if ok[i]:
+            assert cigar_of(wops[i], wb[i], we[i]) == \
+                cigar_of(oops[i], ob[i], oe[i]), i
+
+
+def test_nw_long_kernel_multiblock_interpret():
+    """NW HBM-streamed tier (ops/nwswg_pallas_long.py), 2 row blocks:
+    the forward carry and the walk's block hand-off cross a block
+    boundary (the MRAM-table analogue, NW/DPU-MRAM/dpu/nw.c:151-237)."""
+    rng = random.Random(77)
+    R2 = 576              # RB=512 -> NBK=2
+    pairs = []
+    for _ in range(12):
+        lp = rng.randrange(430, 560)
+        pairs.append(make_pair(rng, lp, max(1, lp + rng.choice([-1, 0, 1])),
+                               rng.randrange(0, 10)))
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
+                      backtrace=True, gap_i=2, gap_d=3, mismatch=3)
+    _check_nwswg_long(cfg, pats, txts, pl, tl)
+
+
+def test_swg_long_kernel_multiblock_interpret():
+    """SWG HBM-streamed tier, 3 row blocks (RB=256), int16 cells."""
+    rng = random.Random(78)
+    R2 = 640
+    pairs = []
+    for _ in range(12):
+        lp = rng.randrange(520, 620)
+        pairs.append(make_pair(rng, lp, max(1, lp + rng.choice([-1, 0, 1])),
+                               rng.randrange(0, 10)))
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="swg", read_size=R2, max_score=400,
+                      backtrace=True, match=0, mismatch=3, gap_o=4,
+                      gap_e=1, variant="hbm")
+    assert cfg.cell_width == 2
+    _check_nwswg_long(cfg, pats, txts, pl, tl)
+
+
+def test_nwswg_long_mixed_lengths_interpret():
+    """Empty/tiny/full-length pairs in one tile: padded pairs must score
+    0 with empty CIGARs and the walk's per-block waiting must not stall
+    live pairs."""
+    rng = random.Random(79)
+    R2 = 576
+    pairs = []
+    for lp in (0, 1, 7, 100, 333, 560):
+        lt = max(0, lp + (rng.choice([-1, 0, 1]) if lp > 2 else 0))
+        pairs.append(make_pair(rng, lp, lt, max(0, lp // 64)))
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
+                      backtrace=True, gap_i=2, gap_d=3, mismatch=3)
+    _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.6)
+
+
+def test_nwswg_tier_selection():
+    """Dispatch: beyond-VMEM NW/SWG configs route to the streamed long
+    kernel (with its HBM footprint declared); int8-cell SWG and
+    negative-match configs stay on XLA."""
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.nw_pallas import vmem_fit_nw
+    from aim_tpu.ops.pallas_kernels import forward_fn
+
+    long_nw = derive_config("nw", 4000, 0.01, backtrace=True, variant="hbm")
+    assert not vmem_fit_nw(long_nw)
+    fn = forward_fn(long_nw)
+    assert fn is not None and getattr(fn, "hbm_per_pair", 0) > 0
+
+    long_swg = derive_config("swg", 4000, 0.01, backtrace=True,
+                             variant="hbm")
+    assert long_swg.cell_width == 2
+    fn = forward_fn(long_swg)
+    assert fn is not None and getattr(fn, "hbm_per_pair", 0) > 0
+
+    neg = long_swg.replace(match=-1)
+    assert forward_fn(neg) is None
+
+    giant = long_nw.replace(read_size=20000)
+    assert forward_fn(giant) is None
+
+
 def test_wfa_long_kernel_mixed_lengths_interpret():
     """One tile mixing empty, tiny, and full-length pairs: the extend's
     block-window bounds span the whole word range (worst case for the

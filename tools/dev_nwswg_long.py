@@ -1,0 +1,181 @@
+"""Dev loop for the NW/SWG long-read (HBM-streamed) kernel.
+
+Modes:
+  JAX_PLATFORMS=cpu python tools/dev_nwswg_long.py quick   # interpret, small
+  JAX_PLATFORMS=cpu python tools/dev_nwswg_long.py 4k      # interpret, 4 kbp
+  python tools/dev_nwswg_long.py tpu [l]                   # real TPU, timed
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import aim_tpu.native as nat  # noqa: E402
+from aim_tpu.config import AlignConfig  # noqa: E402
+from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,  # noqa: E402
+                                           nwswg_forward_pallas_long)
+from tests.util import cigar_of, pack, random_pairs  # noqa: E402
+from tools.dev_long_check import synth  # noqa: E402
+
+
+def oracle(cfg, pats, txts, pl_, tl_):
+    if cfg.algo == "nw":
+        return nat.nw_align(pats, txts, pl_, tl_, mismatch=cfg.mismatch,
+                            gap_i=cfg.gap_i, gap_d=cfg.gap_d,
+                            backtrace=cfg.backtrace)
+    return nat.swg_align(pats, txts, pl_, tl_, match=cfg.match,
+                         mismatch=cfg.mismatch, gap_o=cfg.gap_o,
+                         gap_e=cfg.gap_e, max_score=cfg.max_score,
+                         cell_width=cfg.cell_width, backtrace=cfg.backtrace)
+
+
+def check(cfg, pats, txts, pl_, tl_, tag, interpret=True, flag_cap=0.5):
+    assert long_fit_nwswg(cfg), (tag, cfg)
+    t0 = time.perf_counter()
+    out = nwswg_forward_pallas_long(pats, txts, pl_.astype(np.int32),
+                                    tl_.astype(np.int32), cfg=cfg,
+                                    interpret=interpret)
+    packed = np.asarray(out["packed_runs"])
+    dt = time.perf_counter() - t0
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = oracle(cfg, pats, txts, pl_, tl_)
+    bad = 0
+    for i in range(len(pl_)):
+        if fb[i]:
+            continue
+        if sc[i] != osc[i]:
+            if bad < 3:
+                print(f"  [{tag}] pair {i}: score {sc[i]} != {osc[i]} "
+                      f"(plen={pl_[i]} tlen={tl_[i]})")
+            bad += 1
+    if cfg.backtrace and bad == 0:
+        wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl_, tl_,
+                                           max_score=1 << 30,
+                                           max_ops=2 * cfg.read_size + 8)
+        for i in range(len(pl_)):
+            if fb[i]:
+                continue
+            c1 = cigar_of(wops[i], wb[i], we[i])
+            c2 = cigar_of(oops[i], ob[i], oe[i])
+            if c1 != c2:
+                if bad < 3:
+                    print(f"  [{tag}] pair {i}: cigar {c1[:60]} != "
+                          f"{c2[:60]} score={sc[i]}")
+                bad += 1
+    fr = fb.mean()
+    print(f"[{tag}] n={len(pl_)} flagged={fr:.2f} mismatches={bad} "
+          f"t={dt:.1f}s", flush=True)
+    assert fr <= flag_cap, (tag, fr)
+    return bad
+
+
+def quick():
+    bad = 0
+    pairs = random_pairs(seed=31, n=128, max_len=56)
+    pats, txts, pl_, tl_ = pack(pairs, 64)
+    for algo in ("nw", "swg"):
+        cfg = (AlignConfig(algo="nw", read_size=64, max_score=40,
+                           backtrace=True, gap_i=2, gap_d=3, mismatch=3)
+               if algo == "nw" else
+               AlignConfig(algo="swg", read_size=64, max_score=400,
+                           backtrace=True, match=0, mismatch=3, gap_o=4,
+                           gap_e=1, variant="hbm"))
+        bad += check(cfg, pats, txts, pl_, tl_, f"{algo}-small")
+    # multi-block: R crosses one block boundary
+    for algo, R, l in (("nw", 1120, 1100), ("swg", 560, 550)):
+        cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
+                           backtrace=True, gap_i=1, gap_d=1, mismatch=1)
+               if algo == "nw" else
+               AlignConfig(algo="swg", read_size=R, max_score=400,
+                           backtrace=True, match=0, mismatch=3, gap_o=4,
+                           gap_e=1, variant="hbm"))
+        pats, txts, pl_, tl_ = synth(16, l, 0.01, R, seed=5)
+        bad += check(cfg, pats, txts, pl_, tl_, f"{algo}-{l}", flag_cap=0.3)
+    print("QUICK", "FAIL" if bad else "OK")
+    return bad
+
+
+def fourk():
+    bad = 0
+    for algo in ("nw", "swg"):
+        R, l = 4096, 4000
+        cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
+                           backtrace=True, gap_i=1, gap_d=1, mismatch=1)
+               if algo == "nw" else
+               AlignConfig(algo="swg", read_size=R, max_score=400,
+                           backtrace=True, match=0, mismatch=3, gap_o=4,
+                           gap_e=1, variant="hbm"))
+        pats, txts, pl_, tl_ = synth(8, l, 0.01, R, seed=9)
+        bad += check(cfg, pats, txts, pl_, tl_, f"{algo}-4k", flag_cap=0.3)
+    print("4K", "FAIL" if bad else "OK")
+    return bad
+
+
+def tpu(l=4000):
+    import jax
+    R = -(-(l + max(64, l // 8)) // 32) * 32
+    for algo in ("nw", "swg"):
+        cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
+                           backtrace=True, gap_i=1, gap_d=1, mismatch=1)
+               if algo == "nw" else
+               AlignConfig(algo="swg", read_size=R, max_score=400,
+                           backtrace=True, match=0, mismatch=3, gap_o=4,
+                           gap_e=1, variant="hbm"))
+        for n in (128, 256):
+            pats, txts, pl_, tl_ = synth(n, l, 0.01, R, seed=3)
+            dp = jax.device_put(pats)
+            dt_ = jax.device_put(txts)
+            dpl = jax.device_put(pl_.astype(np.int32))
+            dtl = jax.device_put(tl_.astype(np.int32))
+            jax.block_until_ready((dp, dt_, dpl, dtl))
+            t0 = time.perf_counter()
+            out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg)
+            jax.block_until_ready(out)
+            tc = time.perf_counter() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            packed = np.asarray(out["packed_runs"])
+            sc = packed[:, 1].astype(np.int32)
+            fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+            if n == 128:
+                osc, oops, ob, oe = oracle(cfg, pats, txts, pl_, tl_)
+                ok = ~fb
+                assert (sc[ok] == osc[ok]).all(), \
+                    (algo, np.where(sc[ok] != osc[ok]))
+                wops, wb, we = nat.wfa_runs_to_ops(
+                    packed, sc, pl_, tl_, max_score=1 << 30,
+                    max_ops=2 * R + 8)
+                nc = sum(cigar_of(wops[i], wb[i], we[i])
+                         != cigar_of(oops[i], ob[i], oe[i])
+                         for i in range(n) if ok[i])
+                print(f"{algo} l={l} n={n}: compile={tc:.1f}s "
+                      f"best={best*1e3:.1f}ms flagged={fb.mean():.2f} "
+                      f"cigar_bad={nc}", flush=True)
+                assert nc == 0
+            else:
+                print(f"{algo} l={l} n={n}: best={best*1e3:.1f}ms "
+                      f"({best/n*1e6:.1f} us/pair raw)", flush=True)
+            globals().setdefault("_times", {})[(algo, n)] = best
+    t = globals().get("_times", {})
+    for algo in ("nw", "swg"):
+        if (algo, 128) in t and (algo, 256) in t:
+            marg = (t[(algo, 256)] - t[(algo, 128)]) / 128 * 1e6
+            print(f"{algo} l={l}: marginal {marg:.1f} us/pair", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    if mode == "quick":
+        sys.exit(1 if quick() else 0)
+    elif mode == "4k":
+        sys.exit(1 if fourk() else 0)
+    elif mode == "tpu":
+        tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)

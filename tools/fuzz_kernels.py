@@ -71,6 +71,19 @@ CONFIGS = [
      dict(max_score=12)),
     ("genasm", 96, dict(max_score=20, mismatch=1, gap_i=1, gap_d=1),
      dict(max_score=20)),
+    # beyond the NW/SWG VMEM tier: the HBM-streamed long kernel
+    # (ops/nwswg_pallas_long.py) — multi-block forward carry + descending
+    # walk under non-default cost models, incl. the cheap-gap alias-chain
+    # regime that broke the VMEM tier in round 1
+    ("nw", 2560, dict(max_score=300, gap_i=2, gap_d=5, mismatch=1,
+                      variant="hbm"),
+     dict(mismatch=1, gap_i=2, gap_d=5), 256),
+    ("nw", 2560, dict(max_score=300, gap_i=1, gap_d=1, mismatch=4,
+                      variant="hbm"),
+     dict(mismatch=4, gap_i=1, gap_d=1), 256),
+    ("swg", 2560, dict(max_score=400, match=0, mismatch=7, gap_o=2, gap_e=3,
+                       variant="hbm"),
+     dict(match=0, mismatch=7, gap_o=2, gap_e=3, max_score=400), 256),
 ]
 
 
