@@ -331,6 +331,60 @@ def main():
             out["longread_cpu_1t_us_per_pair"] = round(best / mcpu * 1e6, 1)
         except Exception as e:  # pragma: no cover
             print(f"# longread metric failed: {e}", file=sys.stderr)
+
+        # NW long-read (HBM-streamed banded tier, ops/nwswg_pallas_long):
+        # the reference MRAM analogue past the VMEM tier's ~2 kbp limit.
+        try:
+            from aim_tpu.ops.nwswg_pallas_long import (
+                long_fit_nwswg, nwswg_forward_pallas_long)
+            ncfg = derive_config("nw", 4000, 0.01, backtrace=True,
+                                 variant="hbm")
+            assert long_fit_nwswg(ncfg)
+            rng = np.random.default_rng(11)
+            bases = np.frombuffer(b"ACGT", np.uint8)
+            nl, ll = 256, 4000
+            lp = np.zeros((nl, ncfg.read_size), np.uint8)
+            lp[:, :ll] = bases[rng.integers(0, 4, (nl, ll))]
+            lt = lp.copy()
+            mut = rng.random((nl, ll)) < 0.01
+            lt[:, :ll] = np.where(mut, bases[rng.integers(0, 4, (nl, ll))],
+                                  lt[:, :ll])
+            lpl = np.full(nl, ll, np.int32)
+            ltl = np.full(nl, ll, np.int32)
+            pp, pt, ok = pack_seqs(lp, lt, lpl, ltl, ncfg.read_size)
+            ts = []
+            for m in (64, 256):
+                dp = jax.device_put(pp[:m])
+                dt = jax.device_put(pt[:m])
+                dpl = jax.device_put(lpl[:m])
+                dtl = jax.device_put(ltl[:m])
+                jax.block_until_ready((dp, dt, dpl, dtl))
+                o = nwswg_forward_pallas_long(dp, dt, dpl, dtl, cfg=ncfg,
+                                              packed=ok)
+                jax.block_until_ready(o)
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    o = nwswg_forward_pallas_long(dp, dt, dpl, dtl,
+                                                  cfg=ncfg, packed=ok)
+                    jax.block_until_ready(o)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+                del dp, dt, dpl, dtl, o
+            out["nw_long_4kbp_marginal_us_per_pair"] = round(
+                (ts[1] - ts[0]) / 192 * 1e6, 1)
+            mcpu = 8
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                nat.nw_align(lp[:mcpu], lt[:mcpu], lpl[:mcpu], ltl[:mcpu],
+                             mismatch=ncfg.mismatch, gap_i=ncfg.gap_i,
+                             gap_d=ncfg.gap_d, backtrace=True, threads=1)
+                best = min(best, time.perf_counter() - t0)
+            out["nw_long_4kbp_cpu_1t_us_per_pair"] = round(
+                best / mcpu * 1e6, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"# nw long metric failed: {e}", file=sys.stderr)
         return out
 
     aux = aux_metrics()

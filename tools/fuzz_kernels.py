@@ -84,6 +84,15 @@ CONFIGS = [
     ("swg", 2560, dict(max_score=400, match=0, mismatch=7, gap_o=2, gap_e=3,
                        variant="hbm"),
      dict(match=0, mismatch=7, gap_o=2, gap_e=3, max_score=400), 256),
+    # GenASM long tier (ops/genasm_long.py): k past the VMEM bit-vector
+    # gate (k >= 27) routes through the unit-cost streamed NW kernel with
+    # certified >k overflow rewrites; k=110 leans on the admission bound
+    ("genasm", 2560, dict(max_score=60, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=60), 256),
+    ("genasm", 2560, dict(max_score=110, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=110), 256),
 ]
 
 
