@@ -17,7 +17,7 @@ import aim_tpu.native as nat  # noqa: E402
 from aim_tpu.config import AlignConfig  # noqa: E402
 from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,  # noqa: E402
                                            nwswg_forward_pallas_long)
-from tests.util import cigar_of, pack, random_pairs  # noqa: E402
+from tests.util import cigar_of, make_pair, pack, random_pairs  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
 
 
@@ -171,11 +171,63 @@ def tpu(l=4000):
             print(f"{algo} l={l}: marginal {marg:.1f} us/pair", flush=True)
 
 
+FUZZ_COST_MODELS = [
+    # (algo, costs, long_flag_cap): the cap at the 576-length geometry.
+    # match>0 inflates scores linearly with length, so the band
+    # certification bound dmax=(smax-2go)/(2ge) flags everything at
+    # ~500 bp with smax=400 — equality on unflagged pairs still holds
+    # and the short-geometry runs exercise the model's tie-breaks.
+    # NW: cheap-gap alias chains / gap-vs-X ties / asymmetric gaps
+    ("nw", dict(max_score=40, gap_i=2, gap_d=5, mismatch=1), 0.6),
+    ("nw", dict(max_score=40, gap_i=1, gap_d=1, mismatch=4), 0.6),
+    ("nw", dict(max_score=40, gap_i=3, gap_d=2, mismatch=2), 0.6),
+    # SWG: ge>go / match=0 / heavy mismatch / deep-extension regimes
+    ("swg", dict(max_score=400, match=0, mismatch=5, gap_o=6, gap_e=2,
+                 variant="hbm"), 0.6),
+    ("swg", dict(max_score=400, match=0, mismatch=7, gap_o=2, gap_e=3,
+                 variant="hbm"), 0.6),
+    ("swg", dict(max_score=400, match=2, mismatch=3, gap_o=1, gap_e=1,
+                 variant="hbm"), 1.0),
+]
+
+
+def fuzz(seed0=201, n_seeds=2):
+    """Interpret-mode cost-model sweep (single-block R=64 and
+    multi-block R=576) — the CPU-runnable slice of
+    tools/fuzz_kernels.py's long-kernel configs."""
+    bad = 0
+    for algo, kw, long_cap in FUZZ_COST_MODELS:
+        for s in range(seed0, seed0 + n_seeds):
+            pairs = random_pairs(seed=s, n=128, max_len=56)
+            pats, txts, pl_, tl_ = pack(pairs, 64)
+            cfg = AlignConfig(algo=algo, read_size=64, backtrace=True, **kw)
+            bad += check(cfg, pats, txts, pl_, tl_,
+                         f"{algo}-64 {kw} s={s}", flag_cap=0.6)
+        # multi-block geometry, one seed per model
+        rng = __import__("random").Random(seed0 + 7)
+        pairs = []
+        for _ in range(8):
+            lp = rng.randrange(430, 560)
+            pairs.append(make_pair(rng, lp,
+                                   max(1, lp + rng.choice([-1, 0, 1])),
+                                   rng.randrange(0, 8)))
+        pats, txts, pl_, tl_ = pack(pairs, 576)
+        cfg = AlignConfig(algo=algo, read_size=576, backtrace=True, **kw)
+        bad += check(cfg, pats, txts, pl_, tl_,
+                     f"{algo}-576 {kw}", flag_cap=long_cap)
+    print("FUZZ", "FAIL" if bad else "OK")
+    return bad
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     if mode == "quick":
         sys.exit(1 if quick() else 0)
     elif mode == "4k":
         sys.exit(1 if fourk() else 0)
+    elif mode == "fuzz":
+        sys.exit(1 if fuzz(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 201,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2) else 0)
     elif mode == "tpu":
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
