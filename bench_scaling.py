@@ -66,9 +66,23 @@ def main():
         print(f"N={nd}: {rate:.0f} pairs/s  efficiency={eff:.2f}"
               + ("  (virtual devices — not a hardware measurement)"
                  if virtual else ""), file=sys.stderr)
-    print(json.dumps({"metric": "pair-sharded scaling (WFA-adaptive, "
-                                "100bp e=1%, backtrace)",
-                      "virtual_devices": virtual, "rows": rows}))
+    doc = {"metric": "pair-sharded scaling (WFA-adaptive, 100bp e=1%, "
+                     "backtrace)",
+           "virtual_devices": virtual, "rows": rows}
+    if virtual:
+        doc["note"] = (
+            "virtual devices share ONE physical CPU core, so the ideal "
+            "efficiency_vs_1dev here is 1/N (serial bound), not 1.0 — "
+            "this run validates the sharded path end-to-end, it is not "
+            "a hardware scaling measurement; total pairs_per_s staying "
+            ">= the 1-device rate means the mesh adds no slowdown. The "
+            "kernel shards pairs with zero cross-device collectives "
+            "(aim_tpu/api.py shard_map wrapper), so on real chips "
+            "per-chip throughput multiplies by N by construction.")
+        doc["serial_bound_ratio"] = [
+            round(r["pairs_per_s"] / rows[0]["pairs_per_s"], 3)
+            for r in rows]
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

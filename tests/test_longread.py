@@ -192,6 +192,58 @@ def test_nwswg_long_mixed_lengths_interpret():
     _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.6)
 
 
+def test_genasm_long_kernel_interpret():
+    """GenASM long tier (ops/genasm_long.py): unit-cost streamed NW
+    kernel + overflow rewrite.  Covers k past the VMEM bit-vector gate
+    (k=40 >= 27), pairs under and over k (>k must become the k+1
+    single-'M' overflow record), and half-empty pairs (score plen+tlen,
+    pure I/D tail runs)."""
+    from aim_tpu.ops.genasm_long import (genasm_forward_pallas_long,
+                                         long_fit_genasm)
+    rng = random.Random(83)
+    R2 = 576
+    k = 40
+    pairs = []
+    for _ in range(8):       # near-diagonal, mostly <= k
+        lp = rng.randrange(430, 560)
+        pairs.append(make_pair(rng, lp, max(1, lp + rng.choice([-1, 0, 1])),
+                               rng.randrange(0, 12)))
+    for _ in range(3):       # balanced but error-dense -> distance > k,
+        lp = rng.randrange(430, 560)   # still in-band: certified overflow
+        pairs.append(make_pair(rng, lp, lp, rng.randrange(55, 80)))
+    # length mismatch past the band -> must be FLAGGED, not mis-certified
+    pairs.append(make_pair(rng, 500, 380, 0))
+    pairs.append(make_pair(rng, 0, 37, 0))    # half-empty: score = lt
+    pairs.append(make_pair(rng, 0, 52, 0))    # half-empty AND > k
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="genasm", read_size=R2, max_score=k,
+                      backtrace=True, mismatch=1, gap_i=1, gap_d=1,
+                      variant="hbm")
+    assert long_fit_genasm(cfg)
+    out = genasm_forward_pallas_long(pats, txts, pl.astype(np.int32),
+                                     tl.astype(np.int32), cfg=cfg,
+                                     interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=k,
+                                         backtrace=True)
+    ok = ~fb
+    assert ok.mean() >= 0.7
+    assert fb[-3]                       # out-of-band pair is flagged
+    # (0,52): the patched half-empty score 52 > k must then overflow
+    assert ok[-2:].all() and (sc[-2:] == np.array([37, k + 1])).all()
+    assert (sc[ok] > k).sum() >= 1     # at least one certified overflow
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30,
+                                       max_ops=2 * cfg.read_size + 8)
+    for i in range(len(pl)):
+        if ok[i]:
+            assert cigar_of(wops[i], wb[i], we[i]) == \
+                cigar_of(oops[i], ob[i], oe[i]), i
+
+
 def test_nwswg_tier_selection():
     """Dispatch: beyond-VMEM NW/SWG configs route to the streamed long
     kernel (with its HBM footprint declared); int8-cell SWG and
