@@ -413,6 +413,9 @@ def main():
     try:
         import subprocess
         env = dict(os.environ)
+        # Drop the axon-relay hook: with it present, backend init blocks
+        # on the relay even under JAX_PLATFORMS=cpu when it is down.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
                    XLA_FLAGS=(env.get("XLA_FLAGS", "") +
                               " --xla_force_host_platform_device_count=8"
