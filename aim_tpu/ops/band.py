@@ -16,53 +16,19 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
+F32 = jnp.float32
 
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def log_shifts(width: int):
-    """Powers of two below width (prefix/suffix scan step sizes)."""
-    out = []
-    s = 1
-    while s < width:
-        out.append(s)
-        s *= 2
-    return out
-
-
-def band_ops(b_iota, B: int, slope: int, inf: int, L: int = 128):
-    """Returns (minplus, sl1, sr1) over [P, 128] band-lane arrays.
-
-    b_iota is the within-group band position of each lane (== the lane
-    iota when one pair's band spans the whole row, L=128; == lane % L in
-    the grouped layout where G = 128//L pairs share a row).  All shifts
-    are physical lane rolls whose cross-group reads are masked out by the
-    b_iota bounds, so the same code serves both layouts.
-
-    minplus(z)[b] = min_{j<=b} (z[j] + (b-j)*slope); sl1/sr1 read band
-    positions b-1 / b+1 with a fill value at the group edges.
-    """
-    ramp = b_iota * slope
-    shifts = log_shifts(B)
-
-    def minplus(z):
-        x = z - ramp
-        for s_ in shifts:
-            rolled = pltpu.roll(x, s_, 1)
-            x = jnp.minimum(x, jnp.where(b_iota >= s_, rolled, inf))
-        return x + ramp
-
-    def sl1(w, fill):
-        r = pltpu.roll(w, 1, 1)
-        return jnp.where(b_iota >= 1, r, fill)
-
-    def sr1(w, fill):
-        r = pltpu.roll(w, 127, 1)
-        return jnp.where(b_iota <= L - 2, r, fill)
-
-    return minplus, sl1, sr1
+def ctz32(u):
+    """Count trailing zeros of u != 0 (any int32, incl. bit 31): isolate
+    the lsb, float-bitcast, read the exponent.  Mosaic has no ctz
+    primitive; this stays in vregs."""
+    lsb = (u & (0 - u)).astype(F32)
+    return ((jax.lax.bitcast_convert_type(lsb, I32) >> 23) & 0xFF) - 127
 
 
 def group_reduce_max(x, b_iota, L: int):

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
+from aim_tpu.ops.band import round_up as _round_up
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -53,10 +54,6 @@ def _divc(x, c: int):
     (Mosaic integer division support is uncertain; the +0.5 nudge keeps
     the product away from integers — same argument as wfa_pallas_long)."""
     return jnp.floor((x.astype(jnp.float32) + 0.5) * (1.0 / c)).astype(I32)
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def genasm_record_rows(read_size: int) -> int:

@@ -65,7 +65,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
-from aim_tpu.ops.band import group_reduce_max, group_reduce_sum, round_up
+from aim_tpu.ops.band import (ctz32 as _ctz32, group_reduce_max,
+                              group_reduce_sum, round_up)
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -126,6 +127,19 @@ def runs_lanes_nw(cfg: AlignConfig) -> int:
     return band_geometry(cfg)[3]
 
 
+def vmem_tier_hbm_per_pair(cfg: AlignConfig) -> int:
+    """Per-pair HBM footprint of this tier's dispatch, for
+    api._memory_batch_cap: the banded mismatch-bitplane input
+    (_mismatch_bitplanes, 512*W32/G bytes landed) plus its padded i32
+    build plane (4*32*W32*L — the largest intermediate XLA could
+    materialize if it does not fuse the shift-sum), the packed
+    sequences, and the runs record."""
+    R = cfg.read_size
+    _, L, G, _ = band_geometry(cfg)
+    W32 = (R + 31) // 32
+    return 4 * 32 * W32 * L + 512 * W32 // G + 4 * R + 512
+
+
 def group_geom(cfg: AlignConfig):
     _, L, G, _ = band_geometry(cfg)
     return L, G
@@ -142,12 +156,6 @@ def scan_rounds(cfg: AlignConfig, chain_cost: int) -> int:
     while (1 << r) - 1 < need:
         r += 1
     return r
-
-
-def _ctz32(u):
-    """Count trailing zeros of u != 0 (any int32, incl. bit 31)."""
-    lsb = (u & (0 - u)).astype(F32)
-    return ((jax.lax.bitcast_convert_type(lsb, I32) >> 23) & 0xFF) - 127
 
 
 def _nw_kernel(cfg: AlignConfig, P: int, NRL: int, C: int, L: int, G: int,

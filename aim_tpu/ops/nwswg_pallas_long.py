@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import ALGO_NW, AlignConfig
+from aim_tpu.ops.band import ctz32 as _ctz32, round_up as _round_up
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -63,10 +64,6 @@ CL = 63          # band half-width; B = 2*CL + 1 = 127 <= 128 lanes
 BL = 2 * CL + 1
 NRL = 256        # record lanes (cursor <= 255 fits the walker's 8 bits)
 FLAG_FALLBACK = 1
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def block_rows(algo: str) -> int:
@@ -99,11 +96,6 @@ def hbm_per_pair(cfg: AlignConfig) -> int:
     R = cfg.read_size
     codes = 32 * R if cfg.algo == ALGO_NW else 64 * R
     return 16 * R + codes + 16 * R + 48 * R + 4 * R + 1024
-
-
-def _ctz32(u):
-    lsb = (u & (0 - u)).astype(F32)
-    return ((jax.lax.bitcast_convert_type(lsb, I32) >> 23) & 0xFF) - 127
 
 
 # ===================== forward kernel =====================

@@ -69,12 +69,14 @@ def forward_fn(cfg: AlignConfig):
             fn.hbm_per_pair = genasm_hbm(cfg)
             return fn
     if cfg.algo == ALGO_NW:
-        from aim_tpu.ops.nw_pallas import nw_forward_pallas, vmem_fit_nw
+        from aim_tpu.ops.nw_pallas import (nw_forward_pallas, vmem_fit_nw,
+                                           vmem_tier_hbm_per_pair)
 
         if vmem_fit_nw(cfg):
             def fn(*args, **kw):
                 return nw_forward_pallas(*args, **kw)
 
+            fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
             return fn
 
         # Long-read tier: direction codes streamed through HBM by the
@@ -99,9 +101,12 @@ def forward_fn(cfg: AlignConfig):
         # (excursions can be funded by negative-cost matches, invisible
         # to any per-pair flag) — the full-width XLA tier is exact there.
         if vmem_fit_swg(cfg) and int8_ok and cfg.match >= 0:
+            from aim_tpu.ops.nw_pallas import vmem_tier_hbm_per_pair
+
             def fn(*args, **kw):
                 return swg_forward_pallas(*args, **kw)
 
+            fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
             return fn
 
         # Long-read tier (int16 cells only — the MRAM-variant widths,

@@ -51,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
+from aim_tpu.ops.band import round_up as _round_up
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -60,10 +61,6 @@ BIG = 2 ** 20  # device "infinity": must stay far below 2**29 (PERFNOTES.md)
 
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 P = 128  # pairs per tile (one per lane)
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def record_rows(smax: int) -> int:

@@ -47,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
+from aim_tpu.ops.band import round_up as _round_up
 
 I32 = jnp.int32
 I16 = jnp.int16
@@ -59,10 +60,6 @@ _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
 _CW = 4          # extend scan-window words per round (TPU-tuned)
 WB = 14         # bases per packed word (28 bits < 2**28: relay-safe)
 MASK28 = (1 << 28) - 1
-
-
-def _round_up(x, m):
-    return -(-x // m) * m
 
 
 def record_cols(smax: int) -> int:
