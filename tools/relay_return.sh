@@ -1,0 +1,29 @@
+#!/bin/bash
+# Post-outage TPU validation sweep: run everything that needs the real
+# chip, in dependency order, logging to /tmp/relay_return/.
+# Usage: bash tools/relay_return.sh   (assumes relay is back up)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/relay_return
+
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 3000 "$@" > "/tmp/relay_return/$name.log" 2>&1
+  echo "$name rc=$? (log /tmp/relay_return/$name.log)"
+}
+
+# 1. kernel fuzz (all families x cost models vs oracle) — post-refactor
+#    equality on the real backend
+run fuzz python tools/fuzz_kernels.py 11 1
+# 2. WFA long-read exactness + rates (1 kbp, 10 kbp)
+run wfa_long python tools/dev_long_tpu.py
+# 3. NW/SWG streamed tier exactness + marginals at 4 kbp
+run nwswg_4k python tools/dev_nwswg_long.py tpu 4000
+# 4. NW 8 kbp rate (SWG e=1% exceeds the certified band past ~4.5 kbp)
+run nwswg_8k python tools/dev_nwswg_long.py tpu 8000
+# 5. headline bench (also rewrites SCALING.json)
+run bench python bench.py
+
+echo "=== summary ==="
+grep -h "marginal\|OK\|FAIL\|pairs/s" /tmp/relay_return/*.log | tail -40
