@@ -34,6 +34,14 @@ it the reference semantics):
 Exactness: per-pair band/alias/sentinel/overflow/capacity conditions set
 needs_fallback exactly as in the VMEM tier; flagged pairs re-run on the
 host oracle.
+
+Certified-score envelope (when pairs DON'T flag): the band argument
+needs |kend| + dmax + 1 <= C = 63, i.e. roughly
+  NW:  score <= 124 * min(gap_i, gap_d)   (unit costs: e=1% to ~12 kbp)
+  SWG: score <= 2*gap_o + 124*gap_e       (x=3 o=4 e=1: e=1% to ~4.5
+       kbp, e=0.4% to ~11 kbp — verified exact at 8 kbp/e=0.4%)
+Beyond it pairs flag and fall back — correct, not fast.  Widening to
+C=127 would need two band rows per pair (ROADMAP).
 """
 
 from __future__ import annotations
