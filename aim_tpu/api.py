@@ -43,6 +43,7 @@ class AlignResult:
     t_kernel: float = 0.0
     t_retrieve: float = 0.0
     n_fallback: int = 0
+    n_retry: int = 0     # pairs served by an on-device retry tier
 
 
 _EAGER_DONE = False
@@ -112,6 +113,20 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     smfn.requires_packed = getattr(fn, "requires_packed",
                                                    False)
                     smfn.hbm_per_pair = getattr(fn, "hbm_per_pair", None)
+                    rfn = getattr(fn, "retry_fn", None)
+                    if rfn is not None:
+                        # retry batches shard the same way (sizes are
+                        # powers of two >= 128, divisible by any mesh)
+                        def smretry(pats, txts, plens, tlens, *, cfg, **kw):
+                            def one(*args):
+                                return rfn(*args, cfg=cfg, **kw)
+                            return shard_map(
+                                one, mesh=mesh,
+                                in_specs=(P("pairs"), P("pairs"),
+                                          P("pairs"), P("pairs")),
+                                out_specs={"packed_runs": P("pairs", None)},
+                                check_vma=False)(pats, txts, plens, tlens)
+                        smfn.retry_fn = smretry
                     return smfn
                 fn.supports_packed = True
                 return fn
@@ -206,6 +221,44 @@ def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
         per = (R + 1) * (R + 1) * (1 if cfg.backtrace else 0) + 8 * (R + 1)
     per = max(per, 1)
     return max(256, budget_bytes // per)
+
+
+def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
+                ops, begin, end, lo, max_ops, put, res):
+    """Re-run a chunk's flagged pairs through the kernel's wide-band
+    retry tier (on-device).  Successful (unflagged) retries land their
+    scores/CIGARs directly; returns the still-flagged subset of sel for
+    the host-oracle fallback.  The retry batch is padded to a power of
+    two (>= 128) so repeated retries share a handful of jit
+    specializations instead of one per flag count."""
+    m = len(sel)
+    pad = 128
+    while pad < m:
+        pad *= 2
+
+    def padto(a):
+        return np.pad(a, ((0, pad - m),) + ((0, 0),) * (a.ndim - 1))
+
+    rpl = cplens[sel].astype(np.int32)
+    rtl = ctlens[sel].astype(np.int32)
+    out = retry(put(padto(cpats[sel])), put(padto(ctxts[sel])),
+                put(padto(rpl)), put(padto(rtl)), cfg=cfg)
+    pr = np.ascontiguousarray(jax.device_get(out["packed_runs"]))[:m]
+    sc2 = pr[:, 1].astype(np.int32)
+    fb2 = ((pr[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    good = ~fb2
+    if good.any():
+        g = sel[good]
+        res.n_retry += len(g)
+        scores[lo + g] = sc2[good]
+        if ops is not None:
+            o, b, e = native.wfa_runs_to_ops(pr, sc2, rpl, rtl,
+                                             max_score=(1 << 30),
+                                             max_ops=max_ops)
+            ops[lo + g] = o[good]
+            begin[lo + g] = b[good]
+            end[lo + g] = e[good]
+    return sel[fb2]
 
 
 def align(pats, txts, plens, tlens, cfg: AlignConfig,
@@ -372,10 +425,21 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
                           else native.swg_traceback_bits)
                 o, b, e = walker(host["bits"], plens[chunk], tlens[chunk], max_ops)
             ops[chunk], begin[chunk], end[chunk] = o, b, e
-        # Re-run flagged pairs through the exact host oracle (tape-aliasing
-        # beyond plen==tlen+1, or potential cell-type wrap).
+        # Flagged pairs: first retry on the kernel's wide-band device
+        # tier when it declares one (fn.retry_fn — e.g. the NW/SWG
+        # streamed kernel's npl=2 band, C=127: pairs whose score exceeds
+        # the primary C=63 envelope stay on-device), then re-run the
+        # remainder through the exact host oracle (tape-aliasing beyond
+        # plen==tlen+1, potential cell-type wrap, or past-wide scores).
         if fb is not None and fb.any():
             sel = np.nonzero(fb)[0]
+            retry = getattr(fwd, "retry_fn", None)
+            if retry is not None and len(sel):
+                sel = _retry_wide(retry, cfg, pats[chunk], txts[chunk],
+                                  plens[chunk], tlens[chunk], sel, scores,
+                                  ops, begin, end, lo, max_ops, put, res)
+            if not len(sel):
+                continue
             res.n_fallback += len(sel)
             osc, oops, ob, oe = _oracle_align(
                 pats[chunk][sel], txts[chunk][sel], plens[chunk][sel],

@@ -18,8 +18,9 @@ Exactness: for an UNFLAGGED pair the banded NW score is the true edit
 distance (the band argument of ops/nwswg_pallas_long.py), so both the
 <=k scores and the >k overflow rewrites are certified; flagged pairs
 fall back to the exact host GenASM oracle as usual.  The admission cap
-k <= 124 keeps balanced pairs below the band-flag bound
-(dmax = score//2 <= 62 < CL) so overflow certification stays common.
+k <= 252 keeps balanced pairs below the wide band-flag bound
+(dmax = score//2 <= 126 < C=127); k <= 124 serves from the primary
+C=63 band (npl=1) with a wide-band retry for band-flagged pairs.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from jax import jit
 
 from aim_tpu.config import ALGO_NW, AlignConfig
 
-from aim_tpu.ops.nwswg_pallas_long import (CL, NRL, _nwswg_long_jit,
+from aim_tpu.ops.nwswg_pallas_long import (NRL, _nwswg_long_jit, band_c,
                                            long_fit_nwswg)
 from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _nwswg_hbm_per_pair
 
@@ -46,27 +47,40 @@ def _nw_cfg(cfg: AlignConfig) -> AlignConfig:
                        gap_i=1, gap_d=1, mismatch=1, variant="hbm")
 
 
+def _npl(cfg: AlignConfig) -> int:
+    """Static plane count: the k <= 124 envelope runs the primary C=63
+    band; 124 < k <= 252 runs the wide C=127 band (npl=2)."""
+    return 1 if cfg.max_score <= 2 * (band_c(1) - 1) else 2
+
+
 def long_fit_genasm(cfg: AlignConfig) -> bool:
     """Admission: k small enough that balanced pairs pass the band flag
-    (score//2 + 1 <= CL), sizes within the streamed kernel's range."""
-    return cfg.max_score <= 2 * (CL - 1) and long_fit_nwswg(_nw_cfg(cfg))
+    (score//2 + 1 <= C, wide band C=127), sizes within the streamed
+    kernel's range."""
+    return (cfg.max_score <= 2 * (band_c(2) - 1)
+            and long_fit_nwswg(_nw_cfg(cfg)))
 
 
 def hbm_per_pair(cfg: AlignConfig) -> int:
     return _nwswg_hbm_per_pair(_nw_cfg(cfg))
 
 
-@functools.partial(jit, static_argnames=("cfg", "interpret", "packed"))
+@functools.partial(jit,
+                   static_argnames=("cfg", "interpret", "packed", "npl"))
 def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
-                     interpret: bool = False, packed: bool = False):
+                     interpret: bool = False, packed: bool = False,
+                     npl: int = 1):
     k = cfg.max_score
     out = _nwswg_long_jit(pats, txts, plens, tlens, cfg=_nw_cfg(cfg),
-                          interpret=interpret, packed=packed)
+                          interpret=interpret, packed=packed, npl=npl)
     runs = out["packed_runs"].astype(I32)
     n = runs.shape[0]
     lane = jnp.arange(NRL, dtype=I32)[None, :]
     score = runs[:, 1:2]
-    flag = (runs[:, 0:1] >> 8) & 1
+    # bit 9 = SCORE-only uncertainty: a pair whose CIGAR overflowed the
+    # record capacity (bit 8) but whose score is certified can still be
+    # overflow-rewritten — the rewrite discards the CIGAR anyway.
+    sflag = (runs[:, 0:1] >> 9) & 1
     pl_ = plens.astype(I32)[:, None]
     tl_ = tlens.astype(I32)[:, None]
     half_empty = ((pl_ == 0) ^ (tl_ == 0))
@@ -74,7 +88,7 @@ def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     runs = jnp.where((lane == 1) & half_empty, score, runs)
 
     # GenASM overflow: certified score > k -> k+1 with one default-M run
-    over = (score > k) & (flag == 0)
+    over = (score > k) & (sflag == 0)
     over_row = jnp.where(lane == 0, NRL - 2,
                          jnp.where(lane == 1, k + 1,
                                    jnp.where(lane == NRL - 1,
@@ -85,11 +99,14 @@ def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
 def genasm_forward_pallas_long(pats, txts, plens, tlens, *,
                                cfg: AlignConfig, interpret: bool = False,
-                               packed: bool = False):
+                               packed: bool = False, planes: int | None = None):
     """GenASM long-read forward (+ on-device traceback).  Same
-    {"packed_runs"} record contract as the NW/SWG kernels."""
+    {"packed_runs"} record contract as the NW/SWG kernels.  planes
+    defaults to the k-derived count (_npl); passing 2 forces the wide
+    band (api.align's flagged-pair retry)."""
     return _genasm_long_jit(pats, txts, plens, tlens, cfg=cfg,
-                            interpret=interpret, packed=packed)
+                            interpret=interpret, packed=packed,
+                            npl=_npl(cfg) if planes is None else planes)
 
 
 genasm_forward_pallas_long.supports_packed = True

@@ -19,12 +19,12 @@ DP row window through WRAM while the direction table lives in MRAM
 
 Differences from the VMEM tier (everything else matches it, and through
 it the reference semantics):
-  * fixed geometry — one pair per 128-lane row (G=1, L=128), band
-    half-width C = 63;
-  * the deletion min-plus scan runs the full 7 rounds (depth 127 >= any
-    in-band chain), so the VMEM tier's truncated-chain flag is
-    unnecessary: an in-row chain cannot exceed the band width, and paths
-    leaving the band are already caught by the band flag;
+  * fixed geometry — one pair per 128-lane row (G=1), band half-width
+    C = 63 (npl=1) or C = 127 (npl=2, see below);
+  * the deletion min-plus scan runs full depth (B-1 >= any in-band
+    chain), so the VMEM tier's truncated-chain flag is unnecessary: an
+    in-row chain cannot exceed the band width, and paths leaving the
+    band are already caught by the band flag;
   * records carry up to 253 runs (NRL = 256; the run cursor still fits
     the walker's 8-bit field);
   * SWG serves the int16-cell (MRAM-variant) configs only: the int8
@@ -36,12 +36,16 @@ needs_fallback exactly as in the VMEM tier; flagged pairs re-run on the
 host oracle.
 
 Certified-score envelope (when pairs DON'T flag): the band argument
-needs |kend| + dmax + 1 <= C = 63, i.e. roughly
-  NW:  score <= 124 * min(gap_i, gap_d)   (unit costs: e=1% to ~12 kbp)
-  SWG: score <= 2*gap_o + 124*gap_e       (x=3 o=4 e=1: e=1% to ~4.5
-       kbp, e=0.4% to ~11 kbp — verified exact at 8 kbp/e=0.4%)
-Beyond it pairs flag and fall back — correct, not fast.  Widening to
-C=127 would need two band rows per pair (ROADMAP).
+needs |kend| + dmax + 1 <= C, i.e. roughly
+  NW:  score <= 2*(C-1) * min(gap_i, gap_d)
+  SWG: score <= 2*gap_o + 2*(C-1)*gap_e
+The kernel runs at C = 63 (npl=1: one 128-lane band row per pair) or
+C = 127 (npl=2: TWO band planes per pair; the +-1 band shifts exchange
+their seam lanes and the prefix min/max scans combine across the seam —
+doubling the envelope: SWG x=3/o=4/e=1 certifies e=1% to ~9 kbp instead
+of ~4.5).  npl=1 is the primary tier; api.align retries its band-flagged
+pairs on npl=2 before the host oracle (fn.retry_fn), so in-envelope
+pairs never pay the 2x plane cost.
 """
 
 from __future__ import annotations
@@ -68,16 +72,23 @@ CH_D, CH_I, CH_M, CH_X = 0, 1, 2, 3      # SWG choice bits
 L_M, L_I, L_D = 0, 1, 2                  # SWG walk layers
 
 P = 128          # pairs per tile (one per sublane row)
-CL = 63          # band half-width; B = 2*CL + 1 = 127 <= 128 lanes
+CL = 63          # npl=1 band half-width; B = 2*CL + 1 = 127 <= 128 lanes
 BL = 2 * CL + 1
 NRL = 256        # record lanes (cursor <= 255 fits the walker's 8 bits)
 FLAG_FALLBACK = 1
 
 
-def block_rows(algo: str) -> int:
+def band_c(npl: int) -> int:
+    """Band half-width at npl planes: B = 2*C+1 <= 128*npl lanes."""
+    return 64 * npl - 1
+
+
+def block_rows(algo: str, npl: int = 1) -> int:
     """Rows per streamed block (multiple of 32; SWG's 4-bit codes double
-    the code-plane footprint, so it uses half the rows)."""
-    return 512 if algo == ALGO_NW else 256
+    the code-plane footprint, so it uses half the rows; npl=2 doubles
+    every band plane, so it halves the rows to keep the double-buffered
+    block set inside VMEM)."""
+    return (512 if algo == ALGO_NW else 256) // npl
 
 
 def long_fit_nwswg(cfg: AlignConfig) -> bool:
@@ -100,7 +111,9 @@ def hbm_per_pair(cfg: AlignConfig) -> int:
     """Per-pair HBM bytes while a batch is in flight: the streamed
     mismatch planes (16R), code blocks (32R NW / 64R SWG), is-match
     planes (16R), plus XLA temporaries building the planes (~2x mm).
-    api._memory_batch_cap uses this instead of the VMEM-tier constant."""
+    api._memory_batch_cap uses this instead of the VMEM-tier constant.
+    (The npl=2 retry tier doubles the plane terms but runs on the small
+    flagged subset, so the npl=1 figure governs the batch cap.)"""
     R = cfg.read_size
     codes = 32 * R if cfg.algo == ALGO_NW else 64 * R
     return 16 * R + codes + 16 * R + 48 * R + 4 * R + 1024
@@ -108,62 +121,101 @@ def hbm_per_pair(cfg: AlignConfig) -> int:
 
 # ===================== forward kernel =====================
 
-def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int,
+def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
                 mm_ref, lens_ref, cb_ref, ism_ref, meta_ref, car_ref):
-    """One row-block of the banded forward.  car_ref rows: 0..2 carry
-    planes (NW uses row 0), 3 score_acc, 4 ovf_acc, 5 cacc, 6 iacc."""
+    """One row-block of the banded forward.  Band state lives in npl
+    plane lists (plane k covers band positions 128k..128k+127); car_ref
+    rows (plane-major, r*npl+k): 0..2 carry planes (NW uses row 0),
+    3 score_acc, 4 ovf_acc, 5 cacc, 6 iacc."""
     algo = cfg.algo
     R = cfg.read_size
+    C = band_c(npl)
+    B = 2 * C + 1
     b = pl.program_id(1)
     h0 = b * RB
+    W32B = RB // 32
+    RBQ = RB // 16 if algo == ALGO_NW else RB // 8
 
     lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
-    b_iota = lane
-    in_band = b_iota < BL
+    bg = [lane + 128 * k for k in range(npl)]        # global band position
+    in_band = [bg[k] < B for k in range(npl)]
     plens = lens_ref[:, 0:1]
     tlens = lens_ref[:, 1:2]
     kend = plens - tlens
     aliased = plens == tlens + 1
     ramp_g = cfg.gap_d if algo == ALGO_NW else cfg.gap_e
-    ramp = b_iota * ramp_g
-    hitmask = (b_iota == kend + CL) & in_band
+    ramp = [bg[k] * ramp_g for k in range(npl)]
+    hitmask = [(bg[k] == kend + C) & in_band[k] for k in range(npl)]
     hmax = jnp.minimum(jnp.max(jnp.broadcast_to(tlens, (P, 128))), R)
 
-    def sl1(w, fill):
-        r = pltpu.roll(w, 1, 1)
-        return jnp.where(b_iota >= 1, r, fill)
+    def car(r, k):
+        return car_ref[r * npl + k]
 
-    def sr1(w, fill):
-        r = pltpu.roll(w, 127, 1)
-        return jnp.where(b_iota <= 126, r, fill)
+    def sr1p(ws, fill):          # read band position b+1 (plane-seam aware)
+        out = []
+        for k in range(npl):
+            r = pltpu.roll(ws[k], 127, 1)
+            nxt = (jnp.broadcast_to(ws[k + 1][:, 0:1], (P, 128))
+                   if k + 1 < npl else jnp.full((P, 128), fill, I32))
+            out.append(jnp.where(lane <= 126, r, nxt))
+        return out
+
+    def sl1p(ws, fill):          # read band position b-1
+        out = []
+        for k in range(npl):
+            r = pltpu.roll(ws[k], 1, 1)
+            prv = (jnp.broadcast_to(ws[k - 1][:, 127:128], (P, 128))
+                   if k > 0 else jnp.full((P, 128), fill, I32))
+            out.append(jnp.where(lane >= 1, r, prv))
+        return out
+
+    def minplus_scan(zs):
+        """Global prefix-min over band positions (inputs ramp-subtracted):
+        full-depth masked scan per plane, then the seam carry (plane k's
+        total min, lane 127) folds into plane k+1."""
+        outs = []
+        carry = None
+        for k in range(npl):
+            x = zs[k]
+            s_ = 1
+            while s_ <= 64:
+                rolled = pltpu.roll(x, s_, 1)
+                x = jnp.minimum(x, jnp.where(lane >= s_, rolled, INF))
+                s_ *= 2
+            if carry is not None:
+                x = jnp.minimum(x, carry)
+            carry = jnp.broadcast_to(x[:, 127:128], (P, 128))
+            outs.append(x)
+        return outs
 
     # ---- row-0 / block-0 init ----
     @pl.when(b == 0)
     def _():
-        v0 = b_iota - CL
-        if algo == ALGO_NW:
-            gi, gd = cfg.gap_i, cfg.gap_d
-            row0 = jnp.where((v0 >= 0) & (v0 <= plens) & in_band,
-                             v0 * gd, INF)
-            row0 = jnp.where(aliased & (v0 == plens) & in_band & (v0 >= 0),
-                             gi, row0)
-            car_ref[0] = row0
-        else:
-            go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
-            r0_valid = (v0 >= 0) & (v0 <= plens) & in_band
-            d0 = jnp.where(v0 == 0, ms, go + v0 * ge)
-            i0 = jnp.full((P, 128), ms, I32)
-            m0 = jnp.where(v0 == 0, 0, d0)
-            at_alias = aliased & (v0 == plens) & (v0 > 0)
-            d0 = jnp.where(at_alias, ms, d0)
-            i0 = jnp.where(at_alias, go + ge, i0)
-            m0 = jnp.where(at_alias, go + ge, m0)
-            car_ref[0] = jnp.where(r0_valid, m0, INF)
-            car_ref[1] = jnp.where(r0_valid, i0, INF)
-            car_ref[2] = jnp.where(r0_valid, d0, INF)
         zero = jnp.zeros((P, 128), I32)
-        for j in (3, 4, 5, 6):
-            car_ref[j] = zero
+        for k in range(npl):
+            v0 = bg[k] - C
+            if algo == ALGO_NW:
+                gi, gd = cfg.gap_i, cfg.gap_d
+                row0 = jnp.where((v0 >= 0) & (v0 <= plens) & in_band[k],
+                                 v0 * gd, INF)
+                row0 = jnp.where(aliased & (v0 == plens) & in_band[k]
+                                 & (v0 >= 0), gi, row0)
+                car_ref[0 * npl + k] = row0
+            else:
+                go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
+                r0_valid = (v0 >= 0) & (v0 <= plens) & in_band[k]
+                d0 = jnp.where(v0 == 0, ms, go + v0 * ge)
+                i0 = jnp.full((P, 128), ms, I32)
+                m0 = jnp.where(v0 == 0, 0, d0)
+                at_alias = aliased & (v0 == plens) & (v0 > 0)
+                d0 = jnp.where(at_alias, ms, d0)
+                i0 = jnp.where(at_alias, go + ge, i0)
+                m0 = jnp.where(at_alias, go + ge, m0)
+                car_ref[0 * npl + k] = jnp.where(r0_valid, m0, INF)
+                car_ref[1 * npl + k] = jnp.where(r0_valid, i0, INF)
+                car_ref[2 * npl + k] = jnp.where(r0_valid, d0, INF)
+            for j in (3, 4, 5, 6):
+                car_ref[j * npl + k] = zero
 
     local_rows = jnp.clip(hmax - h0, 0, RB)
 
@@ -173,60 +225,75 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int,
         def fwd_body(i, carry):
             prev, score_acc, ovf_acc, cacc, iacc = carry
             h = h0 + i + 1
-            sub = ((mm_ref[i >> 5] >> (i & 31)) & 1) * x
-            v = b_iota + (h - CL)
-            upper = jnp.minimum(plens, tlens + CL)
-            valid = (v >= 1) & (v <= upper) & in_band
-            insv = sr1(prev, INF) + gi
-            diav = prev + sub
-            indep = jnp.minimum(insv, diav)
-            z = jnp.where(valid, indep, INF)
-            z = jnp.where((v == 0) & in_band, h * gi, z)
-            mscan = z - ramp
-            s_ = 1
-            while s_ <= 64:          # full-depth scan: 127 >= any chain
-                rolled = pltpu.roll(mscan, s_, 1)
-                mscan = jnp.minimum(mscan,
-                                    jnp.where(b_iota >= s_, rolled, INF))
-                s_ *= 2
-            cur = mscan + ramp
-            cur = jnp.where(valid | ((v == 0) & in_band), cur, INF)
+            sub = [((mm_ref[k * W32B + (i >> 5)] >> (i & 31)) & 1) * x
+                   for k in range(npl)]
+            v = [bg[k] + (h - C) for k in range(npl)]
+            upper = jnp.minimum(plens, tlens + C)
+            valid = [(v[k] >= 1) & (v[k] <= upper) & in_band[k]
+                     for k in range(npl)]
+            insv = [w + gi for w in sr1p(prev, INF)]
+            diav = [prev[k] + sub[k] for k in range(npl)]
+            indep = [jnp.minimum(insv[k], diav[k]) for k in range(npl)]
+            z = [jnp.where(valid[k], indep[k], INF) for k in range(npl)]
+            z = [jnp.where((v[k] == 0) & in_band[k], h * gi, z[k])
+                 for k in range(npl)]
+            mscan = minplus_scan([z[k] - ramp[k] for k in range(npl)])
+            cur = [mscan[k] + ramp[k] for k in range(npl)]
+            cur = [jnp.where(valid[k] | ((v[k] == 0) & in_band[k]),
+                             cur[k], INF) for k in range(npl)]
 
-            live = valid & (h <= tlens)
-            ovf_acc = jnp.maximum(
-                ovf_acc, (live & (jnp.abs(cur) > INT16_MAX)).astype(I32))
+            live = [valid[k] & (h <= tlens) for k in range(npl)]
+            ovf_acc = tuple(
+                jnp.maximum(ovf_acc[k],
+                            (live[k] & (jnp.abs(cur[k]) > INT16_MAX))
+                            .astype(I32)) for k in range(npl))
 
             if cfg.backtrace:
-                del_eq = cur == sl1(cur, INF) + gd
-                ins_eq = cur == insv
-                x_eq = cur == prev + x
-                code = jnp.where(del_eq, C_D,
-                                 jnp.where(ins_eq, C_I,
-                                           jnp.where(x_eq, C_X, C_M)))
+                slc = sl1p(cur, INF)
+                code = []
+                for k in range(npl):
+                    del_eq = cur[k] == slc[k] + gd
+                    ins_eq = cur[k] == insv[k]
+                    x_eq = cur[k] == prev[k] + x
+                    code.append(jnp.where(del_eq, C_D,
+                                          jnp.where(ins_eq, C_I,
+                                                    jnp.where(x_eq, C_X,
+                                                              C_M))))
                 shc = 2 * (i & 15)
-                cacc = jnp.where((i & 15) == 0, code << shc,
-                                 cacc | (code << shc))
-                ismb = (code == C_M).astype(I32)
+                cacc = tuple(jnp.where((i & 15) == 0, code[k] << shc,
+                                       cacc[k] | (code[k] << shc))
+                             for k in range(npl))
                 shi = 31 - (i & 31)
-                iacc = jnp.where((i & 31) == 0, ismb << shi,
-                                 iacc | (ismb << shi))
+                iacc = tuple(
+                    jnp.where((i & 31) == 0,
+                              (code[k] == C_M).astype(I32) << shi,
+                              iacc[k] | ((code[k] == C_M).astype(I32)
+                                         << shi)) for k in range(npl))
 
                 @pl.when(((i & 15) == 15) | (i + 1 == local_rows))
                 def _():
-                    cb_ref[i >> 4] = cacc
+                    for k in range(npl):
+                        cb_ref[k * RBQ + (i >> 4)] = cacc[k]
 
                 @pl.when(((i & 31) == 31) | (i + 1 == local_rows))
                 def _():
-                    ism_ref[i >> 5] = iacc
+                    for k in range(npl):
+                        ism_ref[k * W32B + (i >> 5)] = iacc[k]
 
-            hit = hitmask & (h == tlens)
-            score_acc = jnp.where(hit, cur, score_acc)
-            return cur, score_acc, ovf_acc, cacc, iacc
+            score_acc = tuple(
+                jnp.where(hitmask[k] & (h == tlens), cur[k], score_acc[k])
+                for k in range(npl))
+            return tuple(cur), score_acc, ovf_acc, cacc, iacc
 
-        carry = (car_ref[0], car_ref[3], car_ref[4], car_ref[5], car_ref[6])
+        carry = (tuple(car(0, k) for k in range(npl)),
+                 tuple(car(3, k) for k in range(npl)),
+                 tuple(car(4, k) for k in range(npl)),
+                 tuple(car(5, k) for k in range(npl)),
+                 tuple(car(6, k) for k in range(npl)))
         prev, score_acc, ovf_acc, cacc, iacc = jax.lax.fori_loop(
             0, local_rows, fwd_body, carry)
-        car_ref[0] = prev
+        for k in range(npl):
+            car_ref[0 * npl + k] = prev[k]
     else:
         mat, mis = cfg.match, cfg.mismatch
         go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
@@ -236,119 +303,156 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int,
         def fwd_body(i, carry):
             pm, pi, pd, score_acc, ovf_acc, cacc, iacc = carry
             h = h0 + i + 1
-            sub = mat + ((mm_ref[i >> 5] >> (i & 31)) & 1) * (mis - mat)
-            v = b_iota + (h - CL)
-            valid = (v >= 1) & (v <= plens) & in_band
+            sub = [mat + ((mm_ref[k * W32B + (i >> 5)] >> (i & 31)) & 1)
+                   * (mis - mat) for k in range(npl)]
+            v = [bg[k] + (h - C) for k in range(npl)]
+            valid = [(v[k] >= 1) & (v[k] <= plens) & in_band[k]
+                     for k in range(npl)]
             mb = go + h * ge
             db = jnp.where(aliased & (h >= 2), INF, ms)
-            srpm = sr1(pm, INF)
-            i_open_v = srpm + go + ge
-            i_cur = jnp.minimum(i_open_v, sr1(pi, INF) + ge)
-            i_cur = jnp.where(valid, i_cur, INF)
-            i_cur = jnp.where((v == 0) & in_band, mb, i_cur)
-            c = jnp.minimum(pm + sub, i_cur)
-            c = jnp.where(valid, c, INF)
-            c_s = sl1(c, INF)
-            m_left = sl1(jnp.where((v == 0) & in_band, mb, INF), INF)
-            z = jnp.where((v == 0) & in_band, db,
-                          jnp.where(v == 1, m_left + go + ge,
-                                    c_s + go + ge))
-            z = jnp.where(valid | ((v == 0) & in_band), z, INF)
-            mscan = z - ramp
-            s_ = 1
-            while s_ <= 64:
-                rolled = pltpu.roll(mscan, s_, 1)
-                mscan = jnp.minimum(mscan,
-                                    jnp.where(b_iota >= s_, rolled, INF))
-                s_ *= 2
-            d_cur = mscan + ramp
-            d_cur = jnp.where(valid | ((v == 0) & in_band), d_cur, INF)
-            m_cur = jnp.minimum(c, d_cur)
-            m_cur = jnp.where((v == 0) & in_band, mb, m_cur)
-            m_cur = jnp.where(valid | ((v == 0) & in_band), m_cur, INF)
+            srpm = sr1p(pm, INF)
+            i_open_v = [srpm[k] + go + ge for k in range(npl)]
+            srpi = sr1p(pi, INF)
+            i_cur = [jnp.minimum(i_open_v[k], srpi[k] + ge)
+                     for k in range(npl)]
+            i_cur = [jnp.where(valid[k], i_cur[k], INF) for k in range(npl)]
+            i_cur = [jnp.where((v[k] == 0) & in_band[k], mb, i_cur[k])
+                     for k in range(npl)]
+            c = [jnp.minimum(pm[k] + sub[k], i_cur[k]) for k in range(npl)]
+            c = [jnp.where(valid[k], c[k], INF) for k in range(npl)]
+            c_s = sl1p(c, INF)
+            m_left = sl1p([jnp.where((v[k] == 0) & in_band[k], mb, INF)
+                           for k in range(npl)], INF)
+            z = [jnp.where((v[k] == 0) & in_band[k], db,
+                           jnp.where(v[k] == 1, m_left[k] + go + ge,
+                                     c_s[k] + go + ge)) for k in range(npl)]
+            z = [jnp.where(valid[k] | ((v[k] == 0) & in_band[k]),
+                           z[k], INF) for k in range(npl)]
+            mscan = minplus_scan([z[k] - ramp[k] for k in range(npl)])
+            d_cur = [mscan[k] + ramp[k] for k in range(npl)]
+            d_cur = [jnp.where(valid[k] | ((v[k] == 0) & in_band[k]),
+                               d_cur[k], INF) for k in range(npl)]
+            m_cur = [jnp.minimum(c[k], d_cur[k]) for k in range(npl)]
+            m_cur = [jnp.where((v[k] == 0) & in_band[k], mb, m_cur[k])
+                     for k in range(npl)]
+            m_cur = [jnp.where(valid[k] | ((v[k] == 0) & in_band[k]),
+                               m_cur[k], INF) for k in range(npl)]
 
-            live = valid & (h <= tlens)
-            mx = jnp.maximum(jnp.abs(m_cur),
-                             jnp.maximum(jnp.abs(i_cur), jnp.abs(d_cur)))
-            ovf_acc = jnp.maximum(
-                ovf_acc,
-                (live & (mx > cmax - margin) & (mx < INF // 2)).astype(I32))
+            live = [valid[k] & (h <= tlens) for k in range(npl)]
+            ovf_acc = tuple(
+                jnp.maximum(
+                    ovf_acc[k],
+                    (live[k]
+                     & (jnp.maximum(jnp.abs(m_cur[k]),
+                                    jnp.maximum(jnp.abs(i_cur[k]),
+                                                jnp.abs(d_cur[k])))
+                        > cmax - margin)
+                     & (jnp.maximum(jnp.abs(m_cur[k]),
+                                    jnp.maximum(jnp.abs(i_cur[k]),
+                                                jnp.abs(d_cur[k])))
+                        < INF // 2)).astype(I32)) for k in range(npl))
 
             if cfg.backtrace:
-                m_cur_s = sl1(m_cur, INF)
-                choice = jnp.where(
-                    m_cur == d_cur, CH_D,
-                    jnp.where(m_cur == i_cur, CH_I,
-                              jnp.where(m_cur == pm + mat, CH_M, CH_X)))
-                d_open = (d_cur == m_cur_s + go + ge).astype(I32)
-                i_open = (i_cur == i_open_v).astype(I32)
-                code = jnp.where(valid,
-                                 choice | (d_open << 2) | (i_open << 3),
-                                 CH_M)
+                m_cur_s = sl1p(m_cur, INF)
+                code = []
+                for k in range(npl):
+                    choice = jnp.where(
+                        m_cur[k] == d_cur[k], CH_D,
+                        jnp.where(m_cur[k] == i_cur[k], CH_I,
+                                  jnp.where(m_cur[k] == pm[k] + mat,
+                                            CH_M, CH_X)))
+                    d_open = (d_cur[k] == m_cur_s[k] + go + ge).astype(I32)
+                    i_open = (i_cur[k] == i_open_v[k]).astype(I32)
+                    code.append(jnp.where(valid[k],
+                                          choice | (d_open << 2)
+                                          | (i_open << 3), CH_M))
                 shc = 4 * (i & 7)
-                cacc = jnp.where((i & 7) == 0, code << shc,
-                                 cacc | (code << shc))
-                ismb = (valid & (choice == CH_M)).astype(I32)
+                cacc = tuple(jnp.where((i & 7) == 0, code[k] << shc,
+                                       cacc[k] | (code[k] << shc))
+                             for k in range(npl))
                 shi = 31 - (i & 31)
-                iacc = jnp.where((i & 31) == 0, ismb << shi,
-                                 iacc | (ismb << shi))
+                iacc = tuple(
+                    jnp.where((i & 31) == 0,
+                              (valid[k] & ((code[k] & 3) == CH_M))
+                              .astype(I32) << shi,
+                              iacc[k] | ((valid[k]
+                                          & ((code[k] & 3) == CH_M))
+                                         .astype(I32) << shi))
+                    for k in range(npl))
 
                 @pl.when(((i & 7) == 7) | (i + 1 == local_rows))
                 def _():
-                    cb_ref[i >> 3] = cacc
+                    for k in range(npl):
+                        cb_ref[k * RBQ + (i >> 3)] = cacc[k]
 
                 @pl.when(((i & 31) == 31) | (i + 1 == local_rows))
                 def _():
-                    ism_ref[i >> 5] = iacc
+                    for k in range(npl):
+                        ism_ref[k * W32B + (i >> 5)] = iacc[k]
 
-            hit = hitmask & (h == tlens)
-            score_acc = jnp.where(hit, m_cur, score_acc)
-            return m_cur, i_cur, d_cur, score_acc, ovf_acc, cacc, iacc
+            score_acc = tuple(
+                jnp.where(hitmask[k] & (h == tlens), m_cur[k],
+                          score_acc[k]) for k in range(npl))
+            return (tuple(m_cur), tuple(i_cur), tuple(d_cur), score_acc,
+                    ovf_acc, cacc, iacc)
 
-        carry = (car_ref[0], car_ref[1], car_ref[2], car_ref[3],
-                 car_ref[4], car_ref[5], car_ref[6])
+        carry = (tuple(car(0, k) for k in range(npl)),
+                 tuple(car(1, k) for k in range(npl)),
+                 tuple(car(2, k) for k in range(npl)),
+                 tuple(car(3, k) for k in range(npl)),
+                 tuple(car(4, k) for k in range(npl)),
+                 tuple(car(5, k) for k in range(npl)),
+                 tuple(car(6, k) for k in range(npl)))
         pm, pi, pd, score_acc, ovf_acc, cacc, iacc = jax.lax.fori_loop(
             0, local_rows, fwd_body, carry)
-        car_ref[0] = pm
-        car_ref[1] = pi
-        car_ref[2] = pd
+        for k in range(npl):
+            car_ref[0 * npl + k] = pm[k]
+            car_ref[1 * npl + k] = pi[k]
+            car_ref[2 * npl + k] = pd[k]
 
-    car_ref[3] = score_acc
-    car_ref[4] = ovf_acc
-    car_ref[5] = cacc
-    car_ref[6] = iacc
+    for k in range(npl):
+        car_ref[3 * npl + k] = score_acc[k]
+        car_ref[4 * npl + k] = ovf_acc[k]
+        car_ref[5 * npl + k] = cacc[k]
+        car_ref[6 * npl + k] = iacc[k]
 
     # ---- per-pair score + fallback flag (final at the last block) ----
-    score = jnp.sum(score_acc, axis=1, keepdims=True)
+    score = jnp.zeros((P, 1), I32)
+    for k in range(npl):
+        score = score + jnp.sum(score_acc[k], axis=1, keepdims=True)
     score = jnp.where((plens == 0) | (tlens == 0), 0, score)
-    overflow = jnp.max(ovf_acc, axis=1, keepdims=True) > 0
+    overflow = jnp.zeros((P, 1), I32)
+    for k in range(npl):
+        overflow = jnp.maximum(overflow,
+                               jnp.max(ovf_acc[k], axis=1, keepdims=True))
+    overflow = overflow > 0
     multi_alias = plens > tlens + 1
     if algo == ALGO_NW:
         gi, gd = cfg.gap_i, cfg.gap_d
         dmax = score // (gi + gd)
-        bad_band = (jnp.abs(kend) + dmax + 1) > CL
-        hs = CL + dmax + 3
+        bad_band = (jnp.abs(kend) + dmax + 1) > C
+        hs = C + dmax + 3
         bad_alias = aliased & (hs * gi > (plens - hs) * gd)
         flag = (multi_alias | bad_band | bad_alias | overflow
-                | (plens > tlens + CL) | (tlens > plens + CL))
+                | (plens > tlens + C) | (tlens > plens + C))
     else:
         go, ge, ms = cfg.gap_o, cfg.gap_e, cfg.max_score
         mat, mis = cfg.match, cfg.mismatch
         cmax = INT16_MAX
         margin = go + ge + max(mis, abs(mat), ge)
         dmax = jnp.maximum(0, score - 2 * go) // (2 * ge) + 1
-        bad_band = (jnp.abs(kend) + dmax + 1) > CL
+        bad_band = (jnp.abs(kend) + dmax + 1) > C
         # out-of-band MS-sentinel chains (ops/swg_pallas.py rationale)
-        bad_sentinel = ((score - ms) // ge + dmax) > CL
-        hs = CL + dmax + 3
+        bad_sentinel = ((score - ms) // ge + dmax) > C
+        hs = C + dmax + 3
         bad_alias = aliased & (
             ((2 * go + (hs + 1) * ge) > (plens - hs - 1) * ge) | (mat < 0))
         # boundary-sourced int16 wrap (candidates are cast pre-min)
         bad_wrap = ((go + jnp.maximum(plens, tlens) * ge + margin) > cmax) \
             | (ms + margin > cmax)
         flag = (multi_alias | bad_band | bad_sentinel | bad_alias
-                | overflow | bad_wrap | (plens > tlens + CL)
-                | (tlens > plens + CL) | (score < 0))
+                | overflow | bad_wrap | (plens > tlens + C)
+                | (tlens > plens + C) | (score < 0))
     meta = jnp.where(lane == 0, score, 0)
     meta = jnp.where(lane == 1, flag.astype(I32), meta)
     meta_ref[:, :] = meta
@@ -356,20 +460,22 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int,
 
 # ===================== walk kernel =====================
 
-def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
+def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
                  cb_ref, ism_ref, meta_ref, lens_ref,
                  runs_ref, st_ref, racc_ref):
     """One descending row-block of the event-driven traceback.
     st_ref rows: 0 hcur, 1 vcur, 2 top_op, 3 top_len, 4 rc, 5 it,
-    6 layer (SWG)."""
+    6 layer (SWG) — per-pair scalars broadcast over lanes, so they do
+    NOT grow with npl; only the band-indexed code/is-match reads do."""
     algo = cfg.algo
     R = cfg.read_size
+    C = band_c(npl)
     b = pl.program_id(1)
     blk = NBK - 1 - b
     blk_lo = blk * RB
 
     lane = jax.lax.broadcasted_iota(I32, (P, 128), 1)
-    b_iota = lane
+    bg = [lane + 128 * k for k in range(npl)]
     rl_iota = jax.lax.broadcasted_iota(I32, (P, NRL), 1)
     plens = lens_ref[:, 0:1]
     tlens = lens_ref[:, 1:2]
@@ -389,14 +495,39 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
         st_ref[6] = zero
         racc_ref[:, :] = jnp.zeros((P, NRL), I32)
 
-    def seg_at(arr, pos):
-        return jnp.take_along_axis(arr, jnp.clip(pos, 0, 127), axis=1)
+    def seg_planes(planes, pos):
+        """Read per-pair band position pos (0..B-1) across the planes."""
+        acc = jnp.take_along_axis(planes[0], jnp.clip(pos, 0, 127), axis=1)
+        for k in range(1, npl):
+            val = jnp.take_along_axis(planes[k],
+                                      jnp.clip(pos - 128 * k, 0, 127),
+                                      axis=1)
+            acc = jnp.where(pos >= 128 * k, val, acc)
+        return acc
 
-    def ladder(ref, nq, qvec):
+    def ladder(ref, nq, qvec, off=0):
         out = jnp.zeros((P, 128), I32)
         for q in range(nq):
-            out = jnp.where(qvec == q, ref[q], out)
+            out = jnp.where(qvec == q, ref[off + q], out)
         return out
+
+    def maxscan_planes(ps):
+        """Global prefix-max over band positions; seam carry (plane k's
+        lane-127 running max) folds into plane k+1."""
+        outs = []
+        carry = None
+        for k in range(npl):
+            x = ps[k]
+            s_ = 1
+            while s_ <= 64:
+                rolled = pltpu.roll(x, s_, 1)
+                x = jnp.maximum(x, jnp.where(lane >= s_, rolled, -1))
+                s_ *= 2
+            if carry is not None:
+                x = jnp.maximum(x, carry)
+            carry = jnp.broadcast_to(x[:, 127:128], (P, 128))
+            outs.append(x)
+        return outs
 
     def emit_merge(st, mask, op, length):
         runs, rc, top_op, top_len = st
@@ -449,30 +580,27 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
                 it, hcur, vcur, layer, runs, rc, top_op, top_len = st
                 act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
                 hm1 = jnp.maximum(hcur - 1 - blk_lo, 0)   # block-local
-                crow = (ladder(cb_ref, RBQ, hm1 >> 4)
-                        >> (2 * (hm1 & 15))) & 3
-                nd = jnp.where(crow != C_D, b_iota, -1)
-                pm = nd
-                s_ = 1
-                while s_ <= 64:
-                    rolled = pltpu.roll(pm, s_, 1)
-                    pm = jnp.maximum(pm,
-                                     jnp.where(b_iota >= s_, rolled, -1))
-                    s_ *= 2
-                bb = vcur - hcur + CL
-                pm_b = seg_at(pm, bb)
+                crow = [(ladder(cb_ref, RBQ, hm1 >> 4, off=k * RBQ)
+                         >> (2 * (hm1 & 15))) & 3 for k in range(npl)]
+                pm = maxscan_planes(
+                    [jnp.where(crow[k] != C_D, bg[k], -1)
+                     for k in range(npl)])
+                bb = vcur - hcur + C
+                pm_b = seg_planes(pm, bb)
                 dlen = jnp.where(act, jnp.minimum(bb - pm_b, vcur), 0)
                 st2 = emit_merge((runs, rc, top_op, top_len), act, OP_D,
                                  dlen)
                 vcur = vcur - dlen
                 act2 = act & (vcur > 0)
-                b2 = vcur - hcur + CL
-                code2 = seg_at(crow, b2)
+                b2 = vcur - hcur + C
+                code2 = seg_planes(crow, b2)
                 is_i = act2 & (code2 == C_I)
                 is_x = act2 & (code2 == C_X)
                 is_m = act2 & (code2 == C_M)
                 pos = hm1 & 31
-                iw = seg_at(ladder(ism_ref, W32B, hm1 >> 5), b2)
+                iw = seg_planes(
+                    [ladder(ism_ref, W32B, hm1 >> 5, off=k * W32B)
+                     for k in range(npl)], b2)
                 u = (~(iw >> (31 - pos))) & \
                     jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
                 mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
@@ -500,31 +628,27 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
                 it, hcur, vcur, layer, runs, rc, top_op, top_len = st
                 act = (hcur > 0) & (vcur > 0) & (hcur > blk_lo)
                 hm1 = jnp.maximum(hcur - 1 - blk_lo, 0)
-                crow = (ladder(cb_ref, RBQ, hm1 >> 3)
-                        >> (4 * (hm1 & 7))) & 0xF
-                choice = crow & 3
-                dopen = (crow >> 2) & 1
-                iopen = (crow >> 3) & 1
-                bb = vcur - hcur + CL
+                crow = [(ladder(cb_ref, RBQ, hm1 >> 3, off=k * RBQ)
+                         >> (4 * (hm1 & 7))) & 0xF for k in range(npl)]
+                choice = [crow[k] & 3 for k in range(npl)]
+                dopen = [(crow[k] >> 2) & 1 for k in range(npl)]
+                iopen = [(crow[k] >> 3) & 1 for k in range(npl)]
+                bb = vcur - hcur + C
                 one = jnp.ones((P, 128), I32)
 
                 in_i = act & (layer == L_I)
                 runs, rc, top_op, top_len = emit_merge(
                     (runs, rc, top_op, top_len), in_i, OP_I, one)
-                io_here = seg_at(iopen, bb)
+                io_here = seg_planes(iopen, bb)
                 layer = jnp.where(in_i & (io_here == 1), L_M, layer)
 
                 in_m = act & (layer == L_M) & ~in_i
-                ch = seg_at(choice, bb)
+                ch = seg_planes(choice, bb)
                 is_d = in_m & (ch == CH_D)
-                pmd = jnp.where(dopen == 1, b_iota, -1)
-                s_ = 1
-                while s_ <= 64:
-                    rolled = pltpu.roll(pmd, s_, 1)
-                    pmd = jnp.maximum(pmd,
-                                      jnp.where(b_iota >= s_, rolled, -1))
-                    s_ *= 2
-                pmd_b = seg_at(pmd, bb)
+                pmd = maxscan_planes(
+                    [jnp.where(dopen[k] == 1, bg[k], -1)
+                     for k in range(npl)])
+                pmd_b = seg_planes(pmd, bb)
                 dlen = jnp.where(is_d, bb - pmd_b + 1, 0)
                 capped = is_d & (dlen >= vcur)
                 dlen = jnp.minimum(dlen, vcur)
@@ -536,7 +660,9 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
                 is_x = in_m & (ch == CH_X)
                 is_m = in_m & (ch == CH_M)
                 pos = hm1 & 31
-                iw = seg_at(ladder(ism_ref, W32B, hm1 >> 5), bb)
+                iw = seg_planes(
+                    [ladder(ism_ref, W32B, hm1 >> 5, off=k * W32B)
+                     for k in range(npl)], bb)
                 u = (~(iw >> (31 - pos))) & \
                     jnp.where(pos == 31, -1, (1 << (pos + 1)) - 1)
                 mrun = jnp.where(u == 0, pos + 1, _ctz32(u))
@@ -549,7 +675,7 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
                 runs, rc, top_op, top_len = emit_merge(
                     (runs, rc, top_op, top_len), is_i | is_m | is_x,
                     op_sel, length)
-                io_h = seg_at(iopen, bb)
+                io_h = seg_planes(iopen, bb)
                 layer = jnp.where(is_i,
                                   jnp.where(io_h == 1, L_M, L_I), layer)
                 hcur = hcur - jnp.where(in_i | is_i | is_x, 1, mrun)
@@ -596,8 +722,15 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
                 vrem = vrem - vc
             runs, rc = emit_flush(st2)
             flag = flag | (rc[:, 0:1] < 1)
+        # bit 8 = needs_fallback (score OR cigar uncertified); bit 9 =
+        # score-only uncertainty (the forward's meta flag).  A pair with
+        # bit 8 set but bit 9 clear has an EXACT score whose CIGAR
+        # overflowed the record/walk — genasm_long uses this to apply
+        # its >k overflow rewrite (which discards the CIGAR anyway).
+        metaf = jnp.broadcast_to(meta_ref[:, 1:2] > 0, (P, 128))
         flagb = jnp.broadcast_to(flag, (P, 128))
-        lane0 = jnp.clip(rc, 0, 255) | (flagb.astype(I32) << 8)
+        lane0 = jnp.clip(rc, 0, 255) | (flagb.astype(I32) << 8) \
+            | (metaf.astype(I32) << 9)
         out = runs
         out = jnp.where(rl_iota == 0, bval(lane0), out)
         out = jnp.where(rl_iota == 1,
@@ -607,32 +740,40 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int,
 
 # ===================== host glue =====================
 
-def _mm_blocks(pats, txts, R, RB, NBK, T):
+def _mm_blocks(pats, txts, R, RB, NBK, T, npl):
     """Banded mismatch bitplanes, built per row block to bound the XLA
-    intermediates: [T, NBK, RB//32, P, 128] i32, bit j of word w at
-    (block k, lane b) = pat[b - CL + h - 1] != txt[h - 1] for
-    h = k*RB + 32*w + j + 1."""
+    intermediates: [T, NBK, (RB//32)*npl, P, 128] i32 (plane-major), bit
+    j of word w at (block k, plane p, lane b) = pat[(128p + b) - C + h
+    - 1] != txt[h - 1] for h = k*RB + 32*w + j + 1."""
     n = pats.shape[0]
+    C = band_c(npl)
+    B = 2 * C + 1
     Rp = NBK * RB
     if pats.shape[1] < Rp:
         pats = jnp.pad(pats, ((0, 0), (0, Rp - pats.shape[1])))
         txts = jnp.pad(txts, ((0, 0), (0, Rp - txts.shape[1])))
-    patp = jnp.pad(pats.astype(I32), ((0, 0), (CL, BL)),
+    patp = jnp.pad(pats.astype(I32), ((0, 0), (C, 128 * npl)),
                    constant_values=-1)
     txtc = txts.astype(I32)
     blocks = []
     for k in range(NBK):
         t_blk = txtc[:, k * RB:(k + 1) * RB]
-        cols = [(patp[:, k * RB + b:k * RB + b + RB] != t_blk)
-                for b in range(BL)]
-        mm = jnp.stack(cols, axis=2)                 # [n, RB, BL]
-        mm = jnp.pad(mm, ((0, 0), (0, 0), (0, 128 - BL)))
-        mm = mm.astype(I32).reshape(n, RB // 32, 32, 128)
-        mm = (mm << jnp.arange(32, dtype=I32)[None, None, :, None]) \
-            .sum(axis=2)                             # [n, RB//32, 128]
-        blocks.append(mm)
-    mm = jnp.stack(blocks, axis=1)                   # [n, NBK, RB//32, 128]
-    return mm.reshape(T, P, NBK, RB // 32, 128).transpose(0, 2, 3, 1, 4)
+        planes = []
+        for p in range(npl):
+            nb = min(128, B - 128 * p)
+            cols = [(patp[:, k * RB + 128 * p + b:
+                          k * RB + 128 * p + b + RB] != t_blk)
+                    for b in range(nb)]
+            mm = jnp.stack(cols, axis=2)             # [n, RB, nb]
+            mm = jnp.pad(mm, ((0, 0), (0, 0), (0, 128 - nb)))
+            mm = mm.astype(I32).reshape(n, RB // 32, 32, 128)
+            mm = (mm << jnp.arange(32, dtype=I32)[None, None, :, None]) \
+                .sum(axis=2)                         # [n, RB//32, 128]
+            planes.append(mm)
+        blocks.append(jnp.concatenate(planes, axis=1))
+    mm = jnp.stack(blocks, axis=1)         # [n, NBK, (RB//32)*npl, 128]
+    W = (RB // 32) * npl
+    return mm.reshape(T, P, NBK, W, 128).transpose(0, 2, 3, 1, 4)
 
 
 def _unpack2(seq, R):
@@ -641,12 +782,14 @@ def _unpack2(seq, R):
     return u[:, :R]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "packed", "npl"))
 def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
-                    interpret: bool = False, packed: bool = False):
+                    interpret: bool = False, packed: bool = False,
+                    npl: int = 1):
     algo = cfg.algo
     R = cfg.read_size
-    RB = block_rows(algo)
+    RB = block_rows(algo, npl)
     NBK = _round_up(R, RB) // RB
     RBQ = RB // 16 if algo == ALGO_NW else RB // 8
     n = pats.shape[0]
@@ -664,38 +807,40 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
         n = n + padn
     T = n // P
 
-    mm = _mm_blocks(pats, txts, R, RB, NBK, T)
+    mm = _mm_blocks(pats, txts, R, RB, NBK, T, npl)
     lens = jnp.stack([plens.astype(I32).reshape(T, P),
                       tlens.astype(I32).reshape(T, P)], axis=2)
     lens = jnp.pad(lens, ((0, 0), (0, 0), (0, 126)))
 
-    fwd = functools.partial(_fwd_kernel, cfg, NBK, RB)
+    W = (RB // 32) * npl
+    Q = RBQ * npl
+    fwd = functools.partial(_fwd_kernel, cfg, NBK, RB, npl)
     cb, ism, meta = pl.pallas_call(
         fwd,
         grid=(T, NBK),
         in_specs=[
-            pl.BlockSpec((None, None, RB // 32, P, 128),
+            pl.BlockSpec((None, None, W, P, 128),
                          lambda t, b: (t, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, None, RBQ, P, 128),
+            pl.BlockSpec((None, None, Q, P, 128),
                          lambda t, b: (t, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, RB // 32, P, 128),
+            pl.BlockSpec((None, None, W, P, 128),
                          lambda t, b: (t, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, NBK, RBQ, P, 128), I32),
-            jax.ShapeDtypeStruct((T, NBK, RB // 32, P, 128), I32),
+            jax.ShapeDtypeStruct((T, NBK, Q, P, 128), I32),
+            jax.ShapeDtypeStruct((T, NBK, W, P, 128), I32),
             jax.ShapeDtypeStruct((T, P, 128), I32),
         ),
-        scratch_shapes=[pltpu.VMEM((7, P, 128), I32)],
+        scratch_shapes=[pltpu.VMEM((7 * npl, P, 128), I32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -704,21 +849,23 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     if not cfg.backtrace:
         scores = meta[:, :, 0].reshape(n)
         flags = meta[:, :, 1].reshape(n)
-        lane0 = jnp.full((n,), NRL - 1, I32) | ((flags > 0).astype(I32) << 8)
+        lane0 = jnp.full((n,), NRL - 1, I32) \
+            | ((flags > 0).astype(I32) << 8) \
+            | ((flags > 0).astype(I32) << 9)
         runs = jnp.zeros((n, NRL), I32)
         runs = runs.at[:, 0].set(lane0)
         runs = runs.at[:, 1].set(jnp.clip(scores, -32768, 32767))
         return {"packed_runs": runs[:n_orig].astype(I16)}
 
-    walk = functools.partial(_walk_kernel, cfg, NBK, RB)
+    walk = functools.partial(_walk_kernel, cfg, NBK, RB, npl)
     runs = pl.pallas_call(
         walk,
         grid=(T, NBK),
         in_specs=[
-            pl.BlockSpec((None, None, RBQ, P, 128),
+            pl.BlockSpec((None, None, Q, P, 128),
                          lambda t, b: (t, NBK - 1 - b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, RB // 32, P, 128),
+            pl.BlockSpec((None, None, W, P, 128),
                          lambda t, b: (t, NBK - 1 - b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
@@ -742,13 +889,15 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
 
 def nwswg_forward_pallas_long(pats, txts, plens, tlens, *,
                               cfg: AlignConfig, interpret: bool = False,
-                              packed: bool = False):
+                              packed: bool = False, planes: int = 1):
     """NW/SWG long-read forward (+ on-device traceback), HBM-streamed
     tier.  Same record contract as the VMEM kernels: {"packed_runs":
     [n, NRL] i16}, lane0 = cursor | flags << 8, lane1 = score, runs in
-    lanes cursor+1..NRL-1 (host: native.wfa_runs_to_ops)."""
+    lanes cursor+1..NRL-1 (host: native.wfa_runs_to_ops).  planes=2
+    selects the wide band (C=127) — the retry tier for pairs the
+    primary band flags."""
     return _nwswg_long_jit(pats, txts, plens, tlens, cfg=cfg,
-                           interpret=interpret, packed=packed)
+                           interpret=interpret, packed=packed, npl=planes)
 
 
 nwswg_forward_pallas_long.supports_packed = True

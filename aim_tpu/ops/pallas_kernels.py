@@ -67,6 +67,10 @@ def forward_fn(cfg: AlignConfig):
             fn.requires_packed = True
             fn.out_key = "packed_runs"
             fn.hbm_per_pair = genasm_hbm(cfg)
+
+            def genasm_retry(*args, **kw):
+                return genasm_forward_pallas_long(*args, planes=2, **kw)
+            fn.retry_fn = genasm_retry
             return fn
     if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_pallas import (nw_forward_pallas, vmem_fit_nw,
@@ -90,6 +94,7 @@ def forward_fn(cfg: AlignConfig):
                 return nwswg_forward_pallas_long(*args, **kw)
 
             fn.hbm_per_pair = hbm_per_pair(cfg)
+            fn.retry_fn = _nwswg_wide_retry
             return fn
     if cfg.algo == ALGO_SWG:
         from aim_tpu.ops.swg_pallas import (swg_forward_pallas, swg_int8_sound,
@@ -120,5 +125,14 @@ def forward_fn(cfg: AlignConfig):
                 return nwswg_forward_pallas_long(*args, **kw)
 
             fn.hbm_per_pair = hbm_per_pair(cfg)
+            fn.retry_fn = _nwswg_wide_retry
             return fn
     return None
+
+
+def _nwswg_wide_retry(*args, **kw):
+    """Wide-band (npl=2, C=127) retry for pairs the primary streamed
+    band flags — api.align._retry_wide routes band-flagged pairs here
+    before the host oracle."""
+    from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long
+    return nwswg_forward_pallas_long(*args, planes=2, **kw)

@@ -244,6 +244,132 @@ def test_genasm_long_kernel_interpret():
                 cigar_of(oops[i], ob[i], oe[i]), i
 
 
+def _subs_pair(rng, lp, nsub):
+    """Equal-length pair differing by nsub guaranteed substitutions:
+    edit distance == nsub, no length drift (kend == 0)."""
+    bases = "ACGT"
+    p = [rng.choice(bases) for _ in range(lp)]
+    t = list(p)
+    for pos in rng.sample(range(lp), nsub):
+        t[pos] = bases[(bases.index(t[pos]) + rng.randrange(1, 4)) % 4]
+    return "".join(p), "".join(t)
+
+
+def _burst_subs_pair(rng, lp, d):
+    """Equal-length pair with d/3 bursts of 3 substitutions (spaced >= 4
+    apart): edit distance ~ d with only ~2d/3 CIGAR runs — distances
+    past the spread-substitution record-capacity bound (~126) stay
+    representable.  (One long substituted block does NOT work: shifted
+    alignments through the block deflate the distance.)"""
+    bases = "ACGT"
+    p = [rng.choice(bases) for _ in range(lp)]
+    t = list(p)
+    nb = d // 3
+    for i in range(nb):
+        start = i * (lp // nb) + rng.randrange(0, max(1, lp // nb - 6))
+        for pos in range(start, min(start + 3, lp)):
+            t[pos] = bases[(bases.index(t[pos]) + rng.randrange(1, 4)) % 4]
+    return "".join(p), "".join(t)
+
+
+def test_nwswg_wide_band_retry_interpret():
+    """Wide-band retry tier (npl=2, C=127): SWG pairs whose score
+    exceeds the primary C=63 envelope certify on the wide band, and
+    api._retry_wide lands their scores/CIGARs while returning only the
+    still-flagged pairs (here a multi-alias pair) for the oracle."""
+    from functools import partial
+    from aim_tpu.api import AlignResult, _retry_wide
+    from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long
+    rng = random.Random(97)
+    R2 = 640
+    pairs = []
+    for _ in range(4):       # substitution-only: score = 3*nsub in
+        lp = rng.randrange(560, 620)   # (150, 210] > envelope 132,
+        pairs.append(_subs_pair(rng, lp, rng.randrange(51, 70)))
+    pairs.append(make_pair(rng, 600, 600, 3))      # in-envelope
+    pairs.append(make_pair(rng, 200, 150, 0))      # plen > tlen+1: alias
+    pats, txts, pl, tl = pack(pairs, R2)
+    pl32, tl32 = pl.astype(np.int32), tl.astype(np.int32)
+    cfg = AlignConfig(algo="swg", read_size=R2, max_score=400,
+                      backtrace=True, match=0, mismatch=3, gap_o=4,
+                      gap_e=1, variant="hbm")
+    out = nwswg_forward_pallas_long(pats, txts, pl32, tl32, cfg=cfg,
+                                    interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    assert fb[:4].all() and not fb[4] and fb[5]
+    n = len(pl)
+    scores = np.zeros(n, np.int32)
+    max_ops = 2 * R2
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    res = AlignResult(scores, ops, begin, end)
+    sel = np.nonzero(fb)[0]
+    left = _retry_wide(partial(nwswg_forward_pallas_long, interpret=True,
+                               planes=2),
+                       cfg, pats, txts, pl, tl, sel, scores, ops, begin,
+                       end, 0, max_ops, lambda a: a, res)
+    assert list(left) == [5]          # only the alias pair remains
+    assert res.n_retry == 4
+    osc, oops, ob, oe = nat.swg_align(pats, txts, pl, tl, match=0,
+                                      mismatch=3, gap_o=4, gap_e=1,
+                                      max_score=400, cell_width=2,
+                                      backtrace=True)
+    np.testing.assert_array_equal(scores[:4], osc[:4])
+    assert (osc[:4] > 132).any()      # beyond the narrow envelope indeed
+    for i in range(4):
+        assert cigar_of(ops[i], begin[i], end[i]) == \
+            cigar_of(oops[i], ob[i], oe[i]), i
+
+
+def test_genasm_wide_k_interpret():
+    """GenASM long tier at k past the npl=1 envelope (124 < k <= 252)
+    runs the wide band statically: certified scores and >k overflow
+    rewrites at k=160."""
+    from aim_tpu.ops.genasm_long import (_npl, genasm_forward_pallas_long,
+                                         long_fit_genasm)
+    rng = random.Random(101)
+    R2 = 640
+    k = 160
+    # Spread substitutions make ~2d+1 runs (record capacity 253 caps
+    # d ~ 126); a contiguous substituted block is d distance in 3 runs —
+    # how scores past the capacity envelope stay CIGAR-representable.
+    pairs = [
+        _subs_pair(rng, 560, 40),           # certified, in npl=1 range
+        _subs_pair(rng, 600, 90),           # certified
+        _burst_subs_pair(rng, 580, 150),    # certified, past 124
+        _burst_subs_pair(rng, 610, 200),    # > k: overflow rewrite
+        _subs_pair(rng, 590, 150),          # capacity-flagged (295 runs)
+        _burst_subs_pair(rng, 540, 135),    # certified, past 124
+    ]
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="genasm", read_size=R2, max_score=k,
+                      backtrace=True, mismatch=1, gap_i=1, gap_d=1,
+                      variant="hbm")
+    assert _npl(cfg) == 2 and long_fit_genasm(cfg)
+    out = genasm_forward_pallas_long(pats, txts, pl.astype(np.int32),
+                                     tl.astype(np.int32), cfg=cfg,
+                                     interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=k,
+                                         backtrace=True)
+    ok = ~fb
+    assert list(ok) == [True, True, True, True, False, True]
+    assert (sc[ok] > 124).any()       # scores past the npl=1 envelope
+    assert sc[3] == k + 1             # certified overflow rewrite
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30,
+                                       max_ops=2 * cfg.read_size + 8)
+    for i in range(len(pl)):
+        if ok[i]:
+            assert cigar_of(wops[i], wb[i], we[i]) == \
+                cigar_of(oops[i], ob[i], oe[i]), i
+
+
 def test_nwswg_tier_selection():
     """Dispatch: beyond-VMEM NW/SWG configs route to the streamed long
     kernel (with its HBM footprint declared); int8-cell SWG and
