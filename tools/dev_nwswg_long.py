@@ -32,12 +32,13 @@ def oracle(cfg, pats, txts, pl_, tl_):
                          cell_width=cfg.cell_width, backtrace=cfg.backtrace)
 
 
-def check(cfg, pats, txts, pl_, tl_, tag, interpret=True, flag_cap=0.5):
+def check(cfg, pats, txts, pl_, tl_, tag, interpret=True, flag_cap=0.5,
+          planes=1):
     assert long_fit_nwswg(cfg), (tag, cfg)
     t0 = time.perf_counter()
     out = nwswg_forward_pallas_long(pats, txts, pl_.astype(np.int32),
                                     tl_.astype(np.int32), cfg=cfg,
-                                    interpret=interpret)
+                                    interpret=interpret, planes=planes)
     packed = np.asarray(out["packed_runs"])
     dt = time.perf_counter() - t0
     sc = packed[:, 1].astype(np.int32)
@@ -215,6 +216,10 @@ def fuzz(seed0=201, n_seeds=2):
         cfg = AlignConfig(algo=algo, read_size=576, backtrace=True, **kw)
         bad += check(cfg, pats, txts, pl_, tl_,
                      f"{algo}-576 {kw}", flag_cap=long_cap)
+        # same data through the WIDE band (npl=2, C=127): equality must
+        # hold there too, and it flags no more than the primary band
+        bad += check(cfg, pats, txts, pl_, tl_,
+                     f"{algo}-576w {kw}", flag_cap=long_cap, planes=2)
     print("FUZZ", "FAIL" if bad else "OK")
     return bad
 

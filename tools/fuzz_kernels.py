@@ -93,6 +93,12 @@ CONFIGS = [
     ("genasm", 2560, dict(max_score=110, mismatch=1, gap_i=1, gap_d=1,
                           variant="hbm"),
      dict(max_score=110), 256),
+    # GenASM wide-k (125 < k <= 252 routes the npl=2 / C=127 band
+    # statically; this also keeps the wide-band kernel under standing
+    # TPU fuzz — api.align's retry tier runs the same kernel)
+    ("genasm", 2560, dict(max_score=200, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=200), 256),
 ]
 
 
