@@ -520,6 +520,8 @@ def align_file(input_path: str, output_path: str, n_reads: int,
             # ref: host.c:285-296 prints "DPU Kernel Energy (J): ..."
             print(f"TPU Kernel Energy (J, estimated): "
                   f"{energy_estimate_joules(res):f}")
+        if res.n_retry:
+            print(f"wide-band device retry pairs: {res.n_retry}")
         if res.n_fallback:
             print(f"host-oracle fallback pairs: {res.n_fallback}")
     return res

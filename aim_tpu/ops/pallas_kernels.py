@@ -81,6 +81,13 @@ def forward_fn(cfg: AlignConfig):
                 return nw_forward_pallas(*args, **kw)
 
             fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
+            # VMEM-tier band/capacity-flagged pairs retry on the wide
+            # (C=127) streamed band before the host oracle — the wide
+            # kernel re-derives its own exactness flags, so ANY pair it
+            # certifies is exact regardless of why this tier flagged.
+            from aim_tpu.ops.nwswg_pallas_long import long_fit_nwswg
+            if long_fit_nwswg(cfg):
+                fn.retry_fn = _nwswg_wide_retry
             return fn
 
         # Long-read tier: direction codes streamed through HBM by the
@@ -112,6 +119,12 @@ def forward_fn(cfg: AlignConfig):
                 return swg_forward_pallas(*args, **kw)
 
             fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
+            # int16-cell configs retry band-flagged pairs on the wide
+            # streamed band (int8 configs can't: long_fit excludes the
+            # genuine-wrap cell width, which only the XLA tier carries)
+            from aim_tpu.ops.nwswg_pallas_long import long_fit_nwswg
+            if long_fit_nwswg(cfg):
+                fn.retry_fn = _nwswg_wide_retry
             return fn
 
         # Long-read tier (int16 cells only — the MRAM-variant widths,

@@ -220,3 +220,41 @@ def test_shard_map_swg_via_api_wrapper():
         if ok[i]:
             assert cigar_of(oops[i], ob[i], oe[i]) == \
                 cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
+def test_shard_map_wide_retry_via_api_wrapper():
+    """The wide-band retry tier through api._forward_fn's own shard_map
+    wrapping (smfn.retry_fn): beyond-C63-envelope SWG pairs certify on
+    the sharded npl=2 kernel, interpret mode on the CPU mesh."""
+    import random
+    from aim_tpu.api import _forward_fn
+    from tests.test_longread import _subs_pair
+    R = 640
+    rng = random.Random(67)
+    pairs = [_subs_pair(rng, rng.randrange(560, 620), rng.randrange(51, 70))
+             for _ in range(128)]     # score 153-207: past C=63, in C=127
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="swg", read_size=R, max_score=400,
+                      backtrace=True, match=0, mismatch=3, gap_o=4,
+                      gap_e=1, variant="hbm", backend="pallas")
+    fwd = _forward_fn(cfg, pair_sharding(make_mesh()))
+    retry = getattr(fwd, "retry_fn", None)
+    assert retry is not None
+    out = retry(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+                cfg=cfg, interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.swg_align(pats, txts, pl, tl, match=0,
+                                      mismatch=3, gap_o=4, gap_e=1,
+                                      max_score=400, cell_width=2,
+                                      backtrace=True)
+    ok = ~fb
+    assert ok.mean() > 0.9 and (osc[ok] > 132).any()
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R)
+    for i in range(0, len(pairs), 7):
+        if ok[i]:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), i
