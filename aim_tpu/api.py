@@ -231,6 +231,19 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     the host-oracle fallback.  The retry batch is padded to a power of
     two (>= 128) so repeated retries share a handful of jit
     specializations instead of one per flag count."""
+    # Cap the retry batch: the wide band doubles the per-pair HBM
+    # footprint, so a worst-case fully-flagged chunk must not exceed the
+    # main batch cap's budget.  8192 pairs keeps the wide tier's planes
+    # comfortably inside it at every admitted R.
+    if len(sel) > 8192:
+        out_sel = []
+        for s0 in range(0, len(sel), 8192):
+            out_sel.append(_retry_wide(retry, cfg, cpats, ctxts, cplens,
+                                       ctlens, sel[s0:s0 + 8192], scores,
+                                       ops, begin, end, lo, max_ops, put,
+                                       res))
+        return np.concatenate(out_sel)
+
     m = len(sel)
     pad = 128
     while pad < m:
