@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time
 from dataclasses import dataclass
 
@@ -223,6 +224,9 @@ def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
     return max(256, budget_bytes // per)
 
 
+_RETRY_WARNED = False
+
+
 def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
                 ops, begin, end, lo, max_ops, put, res):
     """Re-run a chunk's flagged pairs through the kernel's wide-band
@@ -254,9 +258,19 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
 
     rpl = cplens[sel].astype(np.int32)
     rtl = ctlens[sel].astype(np.int32)
-    out = retry(put(padto(cpats[sel])), put(padto(ctxts[sel])),
-                put(padto(rpl)), put(padto(rtl)), cfg=cfg)
-    pr = np.ascontiguousarray(jax.device_get(out["packed_runs"]))[:m]
+    try:
+        out = retry(put(padto(cpats[sel])), put(padto(ctxts[sel])),
+                    put(padto(rpl)), put(padto(rtl)), cfg=cfg)
+        pr = np.ascontiguousarray(jax.device_get(out["packed_runs"]))[:m]
+    except Exception as e:  # pragma: no cover - degrade, don't die:
+        # a retry-tier failure (e.g. a compile limit on some config)
+        # must leave the flagged pairs on the exact host-oracle path
+        global _RETRY_WARNED
+        if not _RETRY_WARNED:
+            _RETRY_WARNED = True
+            print(f"wide-band retry unavailable ({type(e).__name__}); "
+                  f"flagged pairs use the host oracle", file=sys.stderr)
+        return sel
     sc2 = pr[:, 1].astype(np.int32)
     fb2 = ((pr[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
     good = ~fb2
