@@ -224,6 +224,57 @@ def fuzz(seed0=201, n_seeds=2):
     return bad
 
 
+def tpu_wide(l=6000):
+    """Wide band (npl=2, C=127) on real TPU: SWG e=1% at l=6000 sits
+    past the C=63 envelope (score ~ 3*0.01*l = 180 > 132) but inside the
+    wide one (<= 260) — exactness vs oracle + compile + marginal."""
+    import jax
+    R = -(-(l + max(64, l // 8)) // 32) * 32
+    cfg = AlignConfig(algo="swg", read_size=R, max_score=400,
+                      backtrace=True, match=0, mismatch=3, gap_o=4,
+                      gap_e=1, variant="hbm")
+    times = {}
+    for n in (128, 256):
+        pats, txts, pl_, tl_ = synth(n, l, 0.01, R, seed=3)
+        dp = jax.device_put(pats)
+        dt_ = jax.device_put(txts)
+        dpl = jax.device_put(pl_.astype(np.int32))
+        dtl = jax.device_put(tl_.astype(np.int32))
+        jax.block_until_ready((dp, dt_, dpl, dtl))
+        t0 = time.perf_counter()
+        out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg,
+                                        planes=2)
+        jax.block_until_ready(out)
+        tc = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg,
+                                            planes=2)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+        packed = np.asarray(out["packed_runs"])
+        sc = packed[:, 1].astype(np.int32)
+        fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+        if n == 128:
+            osc, oops, ob, oe = oracle(cfg, pats, txts, pl_, tl_)
+            ok = ~fb
+            assert (sc[ok] == osc[ok]).all(), np.where(sc[ok] != osc[ok])
+            wops, wb, we = nat.wfa_runs_to_ops(
+                packed, sc, pl_, tl_, max_score=1 << 30, max_ops=2 * R + 8)
+            nc = sum(cigar_of(wops[i], wb[i], we[i])
+                     != cigar_of(oops[i], ob[i], oe[i])
+                     for i in range(n) if ok[i])
+            print(f"swg-wide l={l} n={n}: compile={tc:.1f}s "
+                  f"best={best*1e3:.1f}ms flagged={fb.mean():.2f} "
+                  f"cigar_bad={nc}", flush=True)
+            assert nc == 0
+            assert (sc[ok] > 132).any()     # really past the C=63 envelope
+    marg = (times[256] - times[128]) / 128 * 1e6
+    print(f"swg-wide l={l}: marginal {marg:.1f} us/pair", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
     if mode == "quick":
@@ -236,3 +287,5 @@ if __name__ == "__main__":
             int(sys.argv[3]) if len(sys.argv) > 3 else 2) else 0)
     elif mode == "tpu":
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
+    elif mode == "tpu-wide":
+        tpu_wide(int(sys.argv[2]) if len(sys.argv) > 2 else 6000)

@@ -20,8 +20,10 @@ run fuzz python tools/fuzz_kernels.py 11 1
 run wfa_long python tools/dev_long_tpu.py
 # 3. NW/SWG streamed tier exactness + marginals at 4 kbp
 run nwswg_4k python tools/dev_nwswg_long.py tpu 4000
-# 4. NW 8 kbp rate (SWG e=1% exceeds the certified band past ~4.5 kbp)
+# 4. NW 8 kbp rate (SWG e=1% exceeds the primary band past ~4.5 kbp)
 run nwswg_8k python tools/dev_nwswg_long.py tpu 8000
+# 4b. WIDE band (npl=2) Mosaic compile + exactness + marginal
+run wide python tools/dev_nwswg_long.py tpu-wide 6000
 # 5. headline bench (also rewrites SCALING.json)
 run bench python bench.py
 
