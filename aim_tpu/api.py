@@ -235,6 +235,20 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     the host-oracle fallback.  The retry batch is padded to a power of
     two (>= 128) so repeated retries share a handful of jit
     specializations instead of one per flag count."""
+    # Pairs the wide band flags unconditionally too (tape-aliasing
+    # beyond plen == tlen+1) skip the device retry — when a chunk's
+    # flags are ALL aliasing (common on adversarial inputs), no wide
+    # dispatch is paid at all.
+    alias = cplens[sel] > ctlens[sel] + 1
+    if alias.any():
+        keep = sel[~alias]
+        if not len(keep):
+            return sel
+        left = _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens,
+                           keep, scores, ops, begin, end, lo, max_ops,
+                           put, res)
+        return np.sort(np.concatenate([sel[alias], left]))
+
     # Cap the retry batch: the wide band doubles the per-pair HBM
     # footprint, so a worst-case fully-flagged chunk must not exceed the
     # main batch cap's budget.  8192 pairs keeps the wide tier's planes
