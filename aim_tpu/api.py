@@ -224,7 +224,7 @@ def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
     return max(256, budget_bytes // per)
 
 
-_RETRY_WARNED = False
+_RETRY_DISABLED = False
 
 
 def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
@@ -235,29 +235,46 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     the host-oracle fallback.  The retry batch is padded to a power of
     two (>= 128) so repeated retries share a handful of jit
     specializations instead of one per flag count."""
-    # Pairs the wide band flags unconditionally too (tape-aliasing
-    # beyond plen == tlen+1) skip the device retry — when a chunk's
-    # flags are ALL aliasing (common on adversarial inputs), no wide
-    # dispatch is paid at all.
-    alias = cplens[sel] > ctlens[sel] + 1
-    if alias.any():
-        keep = sel[~alias]
+    global _RETRY_DISABLED
+    if _RETRY_DISABLED:
+        return sel
+
+    # Pairs the wide band flags unconditionally too skip the device
+    # retry (their flag conditions are host-computable from lengths and
+    # cfg alone): tape-aliasing beyond plen == tlen+1, length skew past
+    # the wide band, and SWG's length-only int16 wrap bound.  When a
+    # chunk's flags are ALL unfixable, no wide dispatch is paid.
+    unfix = (cplens[sel] > ctlens[sel] + 1) \
+        | (ctlens[sel].astype(np.int64) > cplens[sel] + 127)
+    if cfg.algo == ALGO_SWG:
+        margin = cfg.gap_o + cfg.gap_e + max(cfg.mismatch, abs(cfg.match),
+                                             cfg.gap_e)
+        if cfg.max_score + margin > 32767:
+            return sel
+        unfix = unfix | ((cfg.gap_o + np.maximum(cplens[sel], ctlens[sel])
+                          .astype(np.int64) * cfg.gap_e + margin) > 32767)
+    if unfix.any():
+        keep = sel[~unfix]
         if not len(keep):
             return sel
         left = _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens,
                            keep, scores, ops, begin, end, lo, max_ops,
                            put, res)
-        return np.sort(np.concatenate([sel[alias], left]))
+        return np.sort(np.concatenate([sel[unfix], left]))
 
-    # Cap the retry batch: the wide band doubles the per-pair HBM
-    # footprint, so a worst-case fully-flagged chunk must not exceed the
-    # main batch cap's budget.  8192 pairs keeps the wide tier's planes
-    # comfortably inside it at every admitted R.
-    if len(sel) > 8192:
+    # Cap the retry batch so the wide band's ~2x per-pair HBM footprint
+    # stays inside the same budget the main batch cap enforces (at the
+    # largest admitted R the cap itself is the binding limit, not 8192).
+    from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _long_hpp
+    cap = 128
+    budget_cap = _memory_batch_cap(cfg, True, per_pair=2 * _long_hpp(cfg))
+    while cap * 2 <= min(8192, budget_cap):
+        cap *= 2
+    if len(sel) > cap:
         out_sel = []
-        for s0 in range(0, len(sel), 8192):
+        for s0 in range(0, len(sel), cap):
             out_sel.append(_retry_wide(retry, cfg, cpats, ctxts, cplens,
-                                       ctlens, sel[s0:s0 + 8192], scores,
+                                       ctlens, sel[s0:s0 + cap], scores,
                                        ops, begin, end, lo, max_ops, put,
                                        res))
         return np.concatenate(out_sel)
@@ -278,12 +295,12 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
         pr = np.ascontiguousarray(jax.device_get(out["packed_runs"]))[:m]
     except Exception as e:  # pragma: no cover - degrade, don't die:
         # a retry-tier failure (e.g. a compile limit on some config)
-        # must leave the flagged pairs on the exact host-oracle path
-        global _RETRY_WARNED
-        if not _RETRY_WARNED:
-            _RETRY_WARNED = True
-            print(f"wide-band retry unavailable ({type(e).__name__}); "
-                  f"flagged pairs use the host oracle", file=sys.stderr)
+        # must leave the flagged pairs on the exact host-oracle path —
+        # and DISABLE the tier so later chunks don't re-pay the failed
+        # compile/alloc (jit does not cache failures)
+        _RETRY_DISABLED = True
+        print(f"wide-band retry unavailable ({type(e).__name__}); "
+              f"flagged pairs use the host oracle", file=sys.stderr)
         return sel
     sc2 = pr[:, 1].astype(np.int32)
     fb2 = ((pr[:, 0].astype(np.int32) >> 8) & 1).astype(bool)

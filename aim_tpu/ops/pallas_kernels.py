@@ -81,13 +81,7 @@ def forward_fn(cfg: AlignConfig):
                 return nw_forward_pallas(*args, **kw)
 
             fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
-            # VMEM-tier band/capacity-flagged pairs retry on the wide
-            # (C=127) streamed band before the host oracle — the wide
-            # kernel re-derives its own exactness flags, so ANY pair it
-            # certifies is exact regardless of why this tier flagged.
-            from aim_tpu.ops.nwswg_pallas_long import long_fit_nwswg
-            if long_fit_nwswg(cfg):
-                fn.retry_fn = _nwswg_wide_retry
+            _attach_wide_retry(fn, cfg)
             return fn
 
         # Long-read tier: direction codes streamed through HBM by the
@@ -101,7 +95,7 @@ def forward_fn(cfg: AlignConfig):
                 return nwswg_forward_pallas_long(*args, **kw)
 
             fn.hbm_per_pair = hbm_per_pair(cfg)
-            fn.retry_fn = _nwswg_wide_retry
+            _attach_wide_retry(fn, cfg)
             return fn
     if cfg.algo == ALGO_SWG:
         from aim_tpu.ops.swg_pallas import (swg_forward_pallas, swg_int8_sound,
@@ -119,12 +113,7 @@ def forward_fn(cfg: AlignConfig):
                 return swg_forward_pallas(*args, **kw)
 
             fn.hbm_per_pair = vmem_tier_hbm_per_pair(cfg)
-            # int16-cell configs retry band-flagged pairs on the wide
-            # streamed band (int8 configs can't: long_fit excludes the
-            # genuine-wrap cell width, which only the XLA tier carries)
-            from aim_tpu.ops.nwswg_pallas_long import long_fit_nwswg
-            if long_fit_nwswg(cfg):
-                fn.retry_fn = _nwswg_wide_retry
+            _attach_wide_retry(fn, cfg)
             return fn
 
         # Long-read tier (int16 cells only — the MRAM-variant widths,
@@ -138,9 +127,23 @@ def forward_fn(cfg: AlignConfig):
                 return nwswg_forward_pallas_long(*args, **kw)
 
             fn.hbm_per_pair = hbm_per_pair(cfg)
-            fn.retry_fn = _nwswg_wide_retry
+            _attach_wide_retry(fn, cfg)
             return fn
     return None
+
+
+def _attach_wide_retry(fn, cfg):
+    """Give an NW/SWG tier the wide-band (npl=2, C=127) retry when the
+    streamed kernel admits the config: api.align re-runs the tier's
+    flagged pairs there before the host oracle.  The wide kernel
+    re-derives its own exactness flags, so ANY pair it certifies is
+    exact regardless of why the first tier flagged.  int8-cell SWG
+    configs are excluded by long_fit (genuine wrap semantics live only
+    in the XLA tier).  ONE admission rule for all four attachment
+    sites (NW/SWG x vmem/long)."""
+    from aim_tpu.ops.nwswg_pallas_long import long_fit_nwswg
+    if long_fit_nwswg(cfg):
+        fn.retry_fn = _nwswg_wide_retry
 
 
 def _nwswg_wide_retry(*args, **kw):

@@ -116,10 +116,14 @@ def fourk():
     return bad
 
 
-def tpu(l=4000):
+def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None):
+    """Real-TPU exactness + marginal for the streamed tier.  planes=2
+    measures the wide band; min_over asserts some certified score
+    exceeds that bound (proof the data really needs the wide band)."""
     import jax
     R = -(-(l + max(64, l // 8)) // 32) * 32
-    for algo in ("nw", "swg"):
+    times = {}
+    for algo in algos:
         cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
                            backtrace=True, gap_i=1, gap_d=1, mismatch=1)
                if algo == "nw" else
@@ -134,13 +138,15 @@ def tpu(l=4000):
             dtl = jax.device_put(tl_.astype(np.int32))
             jax.block_until_ready((dp, dt_, dpl, dtl))
             t0 = time.perf_counter()
-            out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg)
+            out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg,
+                                            planes=planes)
             jax.block_until_ready(out)
             tc = time.perf_counter() - t0
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg)
+                out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl,
+                                                cfg=cfg, planes=planes)
                 jax.block_until_ready(out)
                 best = min(best, time.perf_counter() - t0)
             packed = np.asarray(out["packed_runs"])
@@ -157,19 +163,21 @@ def tpu(l=4000):
                 nc = sum(cigar_of(wops[i], wb[i], we[i])
                          != cigar_of(oops[i], ob[i], oe[i])
                          for i in range(n) if ok[i])
-                print(f"{algo} l={l} n={n}: compile={tc:.1f}s "
-                      f"best={best*1e3:.1f}ms flagged={fb.mean():.2f} "
-                      f"cigar_bad={nc}", flush=True)
+                print(f"{algo}{'-wide' if planes == 2 else ''} l={l} "
+                      f"n={n}: compile={tc:.1f}s best={best*1e3:.1f}ms "
+                      f"flagged={fb.mean():.2f} cigar_bad={nc}",
+                      flush=True)
                 assert nc == 0
+                if min_over is not None:
+                    assert (sc[ok] > min_over).any()
             else:
                 print(f"{algo} l={l} n={n}: best={best*1e3:.1f}ms "
                       f"({best/n*1e6:.1f} us/pair raw)", flush=True)
-            globals().setdefault("_times", {})[(algo, n)] = best
-    t = globals().get("_times", {})
-    for algo in ("nw", "swg"):
-        if (algo, 128) in t and (algo, 256) in t:
-            marg = (t[(algo, 256)] - t[(algo, 128)]) / 128 * 1e6
-            print(f"{algo} l={l}: marginal {marg:.1f} us/pair", flush=True)
+            times[(algo, n)] = best
+    for algo in algos:
+        marg = (times[(algo, 256)] - times[(algo, 128)]) / 128 * 1e6
+        print(f"{algo}{'-wide' if planes == 2 else ''} l={l}: "
+              f"marginal {marg:.1f} us/pair", flush=True)
 
 
 FUZZ_COST_MODELS = [
@@ -217,62 +225,13 @@ def fuzz(seed0=201, n_seeds=2):
         bad += check(cfg, pats, txts, pl_, tl_,
                      f"{algo}-576 {kw}", flag_cap=long_cap)
         # same data through the WIDE band (npl=2, C=127): equality must
-        # hold there too, and it flags no more than the primary band
+        # hold there too (flag RATES may differ either way — e.g. the
+        # bad_alias bound hs = C + dmax + 3 grows with C — both bands'
+        # flags are conservative and flagged pairs fall back)
         bad += check(cfg, pats, txts, pl_, tl_,
                      f"{algo}-576w {kw}", flag_cap=long_cap, planes=2)
     print("FUZZ", "FAIL" if bad else "OK")
     return bad
-
-
-def tpu_wide(l=6000):
-    """Wide band (npl=2, C=127) on real TPU: SWG e=1% at l=6000 sits
-    past the C=63 envelope (score ~ 3*0.01*l = 180 > 132) but inside the
-    wide one (<= 260) — exactness vs oracle + compile + marginal."""
-    import jax
-    R = -(-(l + max(64, l // 8)) // 32) * 32
-    cfg = AlignConfig(algo="swg", read_size=R, max_score=400,
-                      backtrace=True, match=0, mismatch=3, gap_o=4,
-                      gap_e=1, variant="hbm")
-    times = {}
-    for n in (128, 256):
-        pats, txts, pl_, tl_ = synth(n, l, 0.01, R, seed=3)
-        dp = jax.device_put(pats)
-        dt_ = jax.device_put(txts)
-        dpl = jax.device_put(pl_.astype(np.int32))
-        dtl = jax.device_put(tl_.astype(np.int32))
-        jax.block_until_ready((dp, dt_, dpl, dtl))
-        t0 = time.perf_counter()
-        out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg,
-                                        planes=2)
-        jax.block_until_ready(out)
-        tc = time.perf_counter() - t0
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl, cfg=cfg,
-                                            planes=2)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-        packed = np.asarray(out["packed_runs"])
-        sc = packed[:, 1].astype(np.int32)
-        fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
-        if n == 128:
-            osc, oops, ob, oe = oracle(cfg, pats, txts, pl_, tl_)
-            ok = ~fb
-            assert (sc[ok] == osc[ok]).all(), np.where(sc[ok] != osc[ok])
-            wops, wb, we = nat.wfa_runs_to_ops(
-                packed, sc, pl_, tl_, max_score=1 << 30, max_ops=2 * R + 8)
-            nc = sum(cigar_of(wops[i], wb[i], we[i])
-                     != cigar_of(oops[i], ob[i], oe[i])
-                     for i in range(n) if ok[i])
-            print(f"swg-wide l={l} n={n}: compile={tc:.1f}s "
-                  f"best={best*1e3:.1f}ms flagged={fb.mean():.2f} "
-                  f"cigar_bad={nc}", flush=True)
-            assert nc == 0
-            assert (sc[ok] > 132).any()     # really past the C=63 envelope
-    marg = (times[256] - times[128]) / 128 * 1e6
-    print(f"swg-wide l={l}: marginal {marg:.1f} us/pair", flush=True)
 
 
 if __name__ == "__main__":
@@ -288,4 +247,7 @@ if __name__ == "__main__":
     elif mode == "tpu":
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
     elif mode == "tpu-wide":
-        tpu_wide(int(sys.argv[2]) if len(sys.argv) > 2 else 6000)
+        # SWG e=1% at l=6000: score ~ 180, past the C=63 envelope (132)
+        # but inside the wide one (260) — compile + exactness + marginal
+        tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 6000,
+            planes=2, algos=("swg",), min_over=132)
