@@ -441,3 +441,48 @@ def test_wfa_long_kernel_mixed_lengths_interpret():
         if osc[i] <= K2:
             assert cigar_of(ops[i], b[i], e[i]) == \
                 cigar_of(oops[i], ob[i], oe[i]), i
+
+
+def test_retry_wide_chunking_and_skip_host_logic():
+    """_retry_wide host logic with a stub retry fn: power-of-two batch
+    padding, budget-derived chunking, unfixable-pair skip (aliasing +
+    length skew), and still-flagged propagation — no kernels involved."""
+    from aim_tpu.api import AlignResult, _retry_wide
+    n = 700
+    R2 = 576
+    rng = random.Random(7)
+    cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
+                      backtrace=False, gap_i=1, gap_d=1, mismatch=1)
+    pl = np.full(n, 500, np.int32)
+    tl = np.full(n, 500, np.int32)
+    pl[5] = 200          # aliasing: plen > tlen+1 -> skipped
+    tl[5] = 100
+    tl[6] = 500 + 200    # length skew past C=127 -> skipped
+    pl[6] = 500
+    pats = np.zeros((n, R2), np.uint8)
+    txts = np.zeros((n, R2), np.uint8)
+    calls = []
+
+    def stub_retry(dp, dt, dpl, dtl, *, cfg):
+        m = len(dpl)
+        calls.append(m)
+        assert m & (m - 1) == 0 and m >= 128      # power of two
+        runs = np.zeros((m, 256), np.int16)
+        runs[:, 0] = 254
+        runs[:, 1] = 7
+        # flag one pair per batch (the first) to exercise propagation
+        runs[0, 0] |= 1 << 8
+        return {"packed_runs": runs}
+
+    res = AlignResult(np.zeros(n, np.int32), None, None, None)
+    sel = np.arange(n)
+    left = _retry_wide(stub_retry, cfg, pats, txts, pl, tl, sel,
+                       res.scores, None, None, None, 0, 2 * R2,
+                       lambda a: a, res)
+    # skipped: 5 and 6; flagged by the stub: first pair of each batch
+    assert 5 in left and 6 in left
+    assert res.n_retry == n - 2 - len([x for x in left
+                                       if x not in (5, 6)])
+    assert (res.scores[np.setdiff1d(np.arange(n), left)] == 7).all()
+    # batches stayed within the budget-derived / 8192 cap
+    assert all(m <= 8192 for m in calls) and len(calls) >= 1
