@@ -3,6 +3,7 @@ analogue of the reference's DPU-MRAM variants (NW READ_SIZE 1120,
 WFA MAX_SCORE 250; ref common.h defaults)."""
 
 import numpy as np
+import pytest
 
 import aim_tpu.native as nat
 from aim_tpu.config import AlignConfig
@@ -108,13 +109,13 @@ def test_wfa_tier_selection():
     assert forward_fn(giant) is None
 
 
-def _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.75):
+def _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.75, planes=1):
     from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,
                                                nwswg_forward_pallas_long)
     assert long_fit_nwswg(cfg)
     out = nwswg_forward_pallas_long(pats, txts, pl.astype(np.int32),
                                     tl.astype(np.int32), cfg=cfg,
-                                    interpret=True)
+                                    interpret=True, planes=planes)
     packed = np.asarray(out["packed_runs"])
     sc = packed[:, 1].astype(np.int32)
     fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
@@ -176,10 +177,11 @@ def test_swg_long_kernel_multiblock_interpret():
     _check_nwswg_long(cfg, pats, txts, pl, tl)
 
 
-def test_nwswg_long_mixed_lengths_interpret():
+@pytest.mark.parametrize("planes", [1, 2])
+def test_nwswg_long_mixed_lengths_interpret(planes):
     """Empty/tiny/full-length pairs in one tile: padded pairs must score
     0 with empty CIGARs and the walk's per-block waiting must not stall
-    live pairs."""
+    live pairs — on both the primary and the wide band."""
     rng = random.Random(79)
     R2 = 576
     pairs = []
@@ -189,7 +191,7 @@ def test_nwswg_long_mixed_lengths_interpret():
     pats, txts, pl, tl = pack(pairs, R2)
     cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
                       backtrace=True, gap_i=2, gap_d=3, mismatch=3)
-    _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.6)
+    _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.6, planes=planes)
 
 
 def test_genasm_long_kernel_interpret():
