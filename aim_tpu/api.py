@@ -239,7 +239,7 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     if _RETRY_DISABLED:
         return sel
 
-    # Pairs the wide band flags unconditionally too skip the device
+    # Pairs the wide band flags unconditionally skip the device
     # retry (their flag conditions are host-computable from lengths and
     # cfg alone): tape-aliasing beyond plen == tlen+1, length skew past
     # the wide band, and SWG's length-only int16 wrap bound.  When a

@@ -122,15 +122,36 @@ def main():
 
     # Absorb the relay's first-D2H lottery in a throwaway child process
     # (a completed D2H warms the relay across processes for a while).
-    # Capped: if the relay is badly wedged the warmup run below simply
-    # pays the stall itself — the timed region stays clean either way.
-    try:
-        r = subprocess.run([sys.executable, "-c", _WARM_CHILD],
-                           capture_output=True, text=True, timeout=900,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-        print(f"# {r.stdout.strip()}", file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print("# warm child timed out (relay stall > 900s)", file=sys.stderr)
+    # The child doubles as a liveness probe: when the relay is DOWN,
+    # backend init blocks forever in any process with the axon hook in
+    # its env (PERFNOTES.md §6), so a hung main process would emit no
+    # JSON at all.  Two timed-out children in a row (>2x the longest
+    # observed cold stall each) ⇒ declare the relay unreachable and
+    # emit an explicit error line instead of hanging.
+    warmed = False
+    for attempt in range(2):
+        try:
+            r = subprocess.run([sys.executable, "-c", _WARM_CHILD],
+                               capture_output=True, text=True, timeout=900,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            print(f"# {r.stdout.strip()}", file=sys.stderr)
+            warmed = r.returncode == 0
+            if warmed:
+                break
+        except subprocess.TimeoutExpired:
+            print(f"# warm child {attempt + 1} timed out "
+                  "(relay stall > 900s)", file=sys.stderr)
+    if not warmed:
+        print(json.dumps({
+            "metric": "WFA-adaptive pairs aligned/s/chip "
+                      "(100bp, e=1%, backtrace)",
+            "value": 0.0, "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "tpu relay unreachable (device init never completed "
+                     "in 2x900s probe children); see BENCH_r02.json for "
+                     "the last measured numbers",
+        }))
+        return
 
     # Warmup: full-shape run compiles the executables, and its device_get
     # deliberately switches this process into the eager dispatch mode —
@@ -411,7 +432,6 @@ def main():
     # here — caveat is inside the JSON; on a real pod slice the same
     # harness measures the BASELINE.md >=85% efficiency target).
     try:
-        import subprocess
         env = dict(os.environ)
         # Drop the axon-relay hook: with it present, backend init blocks
         # on the relay even under JAX_PLATFORMS=cpu when it is down.
