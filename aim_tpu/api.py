@@ -8,6 +8,7 @@ run the batch kernel -> pull results -> reconstruct CIGARs -> emit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import sys
 import time
@@ -224,6 +225,46 @@ def _memory_batch_cap(cfg: AlignConfig, pallas_active=False,
     return max(256, budget_bytes // per)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_unfuse(bs, p_cols, t_cols):
+    """Device-side splitter for the fused-upload layout: one uint8 host
+    buffer [pats | txts | plens | tlens] per chunk becomes the four
+    kernel inputs via static slices + a bitcast for the int32 lengths.
+    One jit specialization per align() call (chunk shapes are constant).
+    Rationale: the relay charges a fixed ~25-30 ms per H2D transfer
+    (PERFNOTES.md §2); 1 transfer + 1 cheap device dispatch beats 4
+    transfers when tools/dev_upload_fuse.py confirms it on the live TPU.
+    """
+    import jax.numpy as jnp
+
+    psz = bs * p_cols
+    tsz = bs * t_cols
+    lsz = bs * 4
+
+    @jax.jit
+    def unfuse(buf):
+        o = 0
+        pats = buf[o:o + psz].reshape(bs, p_cols); o += psz
+        txts = buf[o:o + tsz].reshape(bs, t_cols); o += tsz
+        plens = jax.lax.bitcast_convert_type(
+            buf[o:o + lsz].reshape(bs, 4), jnp.int32); o += lsz
+        tlens = jax.lax.bitcast_convert_type(
+            buf[o:o + lsz].reshape(bs, 4), jnp.int32)
+        return pats, txts, plens, tlens
+
+    return unfuse
+
+
+def _fuse_chunk(cp, ct, cpl, ctl):
+    return np.concatenate([
+        np.ascontiguousarray(cp).reshape(-1),
+        np.ascontiguousarray(ct).reshape(-1),
+        np.ascontiguousarray(cpl.astype(np.int32, copy=False))
+        .view(np.uint8).reshape(-1),
+        np.ascontiguousarray(ctl.astype(np.int32, copy=False))
+        .view(np.uint8).reshape(-1)])
+
+
 _RETRY_DISABLED = False
 
 
@@ -395,6 +436,16 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
             fwd = wfa_forward
             fwd_kw = {}
 
+    # Fused-upload transport (opt-in): one uint8 H2D buffer per chunk,
+    # split on device — trades 3 fixed per-transfer relay costs for one
+    # device dispatch.  Single-device only (a flat byte buffer has no
+    # meaningful "pairs" sharding); default decided by the live-TPU
+    # measurement in tools/dev_upload_fuse.py.
+    fuse = (os.environ.get("AIM_TPU_FUSED_UPLOAD", "0") == "1"
+            and device_sharding is None)
+    unfuse = _make_unfuse(bs, up_pats.shape[1], up_txts.shape[1]) \
+        if fuse else None
+
     # Rolling waves bound host+device memory on very large runs while
     # keeping the per-wave upload-all -> execute-each -> pull-once shape.
     WAVE = 8
@@ -408,7 +459,15 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
             cp, ct, cpl, ctl = _pad_batch(
                 [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]],
                 bs)
-            uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
+            if fuse:
+                # split immediately (eager mode executes synchronously,
+                # so this never queues async work — PERFNOTES.md §1) and
+                # drop the fused buffer before the next upload.
+                four = unfuse(put(_fuse_chunk(cp, ct, cpl, ctl)))
+                jax.block_until_ready(four)
+                uploads.append(four)
+            else:
+                uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
         jax.block_until_ready(uploads)
         res.t_load += time.perf_counter() - t0
 

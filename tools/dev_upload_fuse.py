@@ -63,6 +63,23 @@ def main(n=20000):
             best = min(best, time.perf_counter() - t0)
         print(f"{name}: best {best*1e3:.1f} ms", flush=True)
 
+    # End-to-end answer: api.align with the fused transport on vs off
+    # (the flag is read per call).  Adopt the fused default iff this
+    # shows a clear win — the raw H2D numbers above explain WHY.
+    import os
+    from aim_tpu.api import align
+    for flag in ("0", "1"):
+        os.environ["AIM_TPU_FUSED_UPLOAD"] = flag
+        align(pats, txts, plens, tlens, cfg)  # compile + steady state
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = align(pats, txts, plens, tlens, cfg)
+            best = min(best, time.perf_counter() - t0)
+        print(f"align fused={flag}: best {best*1e3:.1f} ms "
+              f"({n/best:.0f} pairs/s, load {r.t_load*1e3:.1f} ms)",
+              flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
