@@ -265,28 +265,45 @@ def _fuse_chunk(cp, ct, cpl, ctl):
         .view(np.uint8).reshape(-1)])
 
 
-_RETRY_DISABLED = False
+_RETRY_DISABLED = set()      # plane counts whose retry tier failed
+
+
+def _retry_stages(fwd) -> tuple:
+    """Escalation ladder for the band-retry tier: plane counts tried in
+    order on still-flagged pairs (band half-width C = 64*planes - 1).
+    Default is the TPU-validated wide band (2); AIM_TPU_RETRY_PLANES
+    (e.g. "2,4") opts into further stages — the kernel is
+    plane-generic, each stage doubles the certified-score envelope."""
+    if getattr(fwd, "retry_fn", None) is None:
+        return ()
+    try:
+        stages = tuple(int(x) for x in os.environ.get(
+            "AIM_TPU_RETRY_PLANES", "2").split(",") if x.strip())
+    except ValueError:
+        stages = (2,)
+    return tuple(p for p in stages if 1 < p <= 8)
 
 
 def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
-                ops, begin, end, lo, max_ops, put, res):
+                ops, begin, end, lo, max_ops, put, res, planes=2):
     """Re-run a chunk's flagged pairs through the kernel's wide-band
-    retry tier (on-device).  Successful (unflagged) retries land their
-    scores/CIGARs directly; returns the still-flagged subset of sel for
-    the host-oracle fallback.  The retry batch is padded to a power of
-    two (>= 128) so repeated retries share a handful of jit
-    specializations instead of one per flag count."""
-    global _RETRY_DISABLED
-    if _RETRY_DISABLED:
+    retry tier (on-device, band half-width C = 64*planes - 1).
+    Successful (unflagged) retries land their scores/CIGARs directly;
+    returns the still-flagged subset of sel for the next ladder stage /
+    host-oracle fallback.  The retry batch is padded to a power of two
+    (>= 128) so repeated retries share a handful of jit specializations
+    instead of one per flag count."""
+    if planes in _RETRY_DISABLED:
         return sel
+    from aim_tpu.ops.nwswg_pallas_long import band_c
 
-    # Pairs the wide band flags unconditionally skip the device
+    # Pairs this band width flags unconditionally skip the device
     # retry (their flag conditions are host-computable from lengths and
     # cfg alone): tape-aliasing beyond plen == tlen+1, length skew past
-    # the wide band, and SWG's length-only int16 wrap bound.  When a
+    # the band, and SWG's length-only int16 wrap bound.  When a
     # chunk's flags are ALL unfixable, no wide dispatch is paid.
     unfix = (cplens[sel] > ctlens[sel] + 1) \
-        | (ctlens[sel].astype(np.int64) > cplens[sel] + 127)
+        | (ctlens[sel].astype(np.int64) > cplens[sel] + band_c(planes))
     if cfg.algo == ALGO_SWG:
         margin = cfg.gap_o + cfg.gap_e + max(cfg.mismatch, abs(cfg.match),
                                              cfg.gap_e)
@@ -300,15 +317,16 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
             return sel
         left = _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens,
                            keep, scores, ops, begin, end, lo, max_ops,
-                           put, res)
+                           put, res, planes)
         return np.sort(np.concatenate([sel[unfix], left]))
 
-    # Cap the retry batch so the wide band's ~2x per-pair HBM footprint
+    # Cap the retry batch so the band's ~planes-x per-pair HBM footprint
     # stays inside the same budget the main batch cap enforces (at the
     # largest admitted R the cap itself is the binding limit, not 8192).
     from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _long_hpp
     cap = 128
-    budget_cap = _memory_batch_cap(cfg, True, per_pair=2 * _long_hpp(cfg))
+    budget_cap = _memory_batch_cap(cfg, True,
+                                   per_pair=planes * _long_hpp(cfg))
     while cap * 2 <= min(8192, budget_cap):
         cap *= 2
     if len(sel) > cap:
@@ -317,7 +335,7 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
             out_sel.append(_retry_wide(retry, cfg, cpats, ctxts, cplens,
                                        ctlens, sel[s0:s0 + cap], scores,
                                        ops, begin, end, lo, max_ops, put,
-                                       res))
+                                       res, planes))
         return np.concatenate(out_sel)
 
     m = len(sel)
@@ -332,16 +350,18 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     rtl = ctlens[sel].astype(np.int32)
     try:
         out = retry(put(padto(cpats[sel])), put(padto(ctxts[sel])),
-                    put(padto(rpl)), put(padto(rtl)), cfg=cfg)
+                    put(padto(rpl)), put(padto(rtl)), cfg=cfg,
+                    planes=planes)
         pr = np.ascontiguousarray(jax.device_get(out["packed_runs"]))[:m]
     except Exception as e:  # pragma: no cover - degrade, don't die:
         # a retry-tier failure (e.g. a compile limit on some config)
         # must leave the flagged pairs on the exact host-oracle path —
-        # and DISABLE the tier so later chunks don't re-pay the failed
-        # compile/alloc (jit does not cache failures)
-        _RETRY_DISABLED = True
-        print(f"wide-band retry unavailable ({type(e).__name__}); "
-              f"flagged pairs use the host oracle", file=sys.stderr)
+        # and DISABLE this stage so later chunks don't re-pay the
+        # failed compile/alloc (jit does not cache failures)
+        _RETRY_DISABLED.add(planes)
+        print(f"band retry (planes={planes}) unavailable "
+              f"({type(e).__name__}); flagged pairs use the host oracle",
+              file=sys.stderr)
         return sel
     sc2 = pr[:, 1].astype(np.int32)
     fb2 = ((pr[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
@@ -551,10 +571,13 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
         if fb is not None and fb.any():
             sel = np.nonzero(fb)[0]
             retry = getattr(fwd, "retry_fn", None)
-            if retry is not None and len(sel):
+            for p in _retry_stages(fwd):
+                if not len(sel):
+                    break
                 sel = _retry_wide(retry, cfg, pats[chunk], txts[chunk],
                                   plens[chunk], tlens[chunk], sel, scores,
-                                  ops, begin, end, lo, max_ops, put, res)
+                                  ops, begin, end, lo, max_ops, put, res,
+                                  planes=p)
             if not len(sel):
                 continue
             res.n_fallback += len(sel)

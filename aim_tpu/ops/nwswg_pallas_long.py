@@ -85,10 +85,12 @@ def band_c(npl: int) -> int:
 
 def block_rows(algo: str, npl: int = 1) -> int:
     """Rows per streamed block (multiple of 32; SWG's 4-bit codes double
-    the code-plane footprint, so it uses half the rows; npl=2 doubles
-    every band plane, so it halves the rows to keep the double-buffered
-    block set inside VMEM)."""
-    return (512 if algo == ALGO_NW else 256) // npl
+    the code-plane footprint, so it uses half the rows; each extra band
+    plane scales every plane buffer, so rows shrink ~1/npl to keep the
+    double-buffered block set inside VMEM).  Rounded DOWN to a multiple
+    of 32 — the bit-packing reshapes (_mm_blocks, the walk's Q/W specs)
+    require exact 32/16/8 divisibility."""
+    return max(32, (512 if algo == ALGO_NW else 256) // npl // 32 * 32)
 
 
 def long_fit_nwswg(cfg: AlignConfig) -> bool:

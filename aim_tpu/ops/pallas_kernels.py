@@ -68,8 +68,9 @@ def forward_fn(cfg: AlignConfig):
             fn.out_key = "packed_runs"
             fn.hbm_per_pair = genasm_hbm(cfg)
 
-            def genasm_retry(*args, **kw):
-                return genasm_forward_pallas_long(*args, planes=2, **kw)
+            def genasm_retry(*args, planes=2, **kw):
+                return genasm_forward_pallas_long(*args, planes=planes,
+                                                  **kw)
             fn.retry_fn = genasm_retry
             return fn
     if cfg.algo == ALGO_NW:
@@ -146,9 +147,11 @@ def _attach_wide_retry(fn, cfg):
         fn.retry_fn = _nwswg_wide_retry
 
 
-def _nwswg_wide_retry(*args, **kw):
-    """Wide-band (npl=2, C=127) retry for pairs the primary streamed
-    band flags — api.align._retry_wide routes band-flagged pairs here
-    before the host oracle."""
+def _nwswg_wide_retry(*args, planes=2, **kw):
+    """Wider-band retry for pairs the primary streamed band flags —
+    api.align._retry_wide routes band-flagged pairs here before the
+    host oracle.  planes=2 (C=127) is the default wide stage; the
+    AIM_TPU_RETRY_PLANES ladder may escalate further (the kernel is
+    plane-generic)."""
     from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long
-    return nwswg_forward_pallas_long(*args, planes=2, **kw)
+    return nwswg_forward_pallas_long(*args, planes=planes, **kw)

@@ -308,8 +308,7 @@ def test_nwswg_wide_band_retry_interpret():
     end = np.zeros(n, np.int32)
     res = AlignResult(scores, ops, begin, end)
     sel = np.nonzero(fb)[0]
-    left = _retry_wide(partial(nwswg_forward_pallas_long, interpret=True,
-                               planes=2),
+    left = _retry_wide(partial(nwswg_forward_pallas_long, interpret=True),
                        cfg, pats, txts, pl, tl, sel, scores, ops, begin,
                        end, 0, max_ops, lambda a: a, res)
     assert list(left) == [5]          # only the alias pair remains
@@ -465,7 +464,7 @@ def test_retry_wide_chunking_and_skip_host_logic():
     txts = np.zeros((n, R2), np.uint8)
     calls = []
 
-    def stub_retry(dp, dt, dpl, dtl, *, cfg):
+    def stub_retry(dp, dt, dpl, dtl, *, cfg, planes=2):
         m = len(dpl)
         calls.append(m)
         assert m & (m - 1) == 0 and m >= 128      # power of two
@@ -488,3 +487,113 @@ def test_retry_wide_chunking_and_skip_host_logic():
     assert (res.scores[np.setdiff1d(np.arange(n), left)] == 7).all()
     # batches stayed within the budget-derived / 8192 cap
     assert all(m <= 8192 for m in calls) and len(calls) >= 1
+
+
+def test_retry_stages_env_parsing(monkeypatch):
+    """The escalation ladder is env-configurable (AIM_TPU_RETRY_PLANES);
+    default is the single TPU-validated wide stage (2); nonsense values
+    fall back; a fwd without a retry tier gets no stages."""
+    from aim_tpu import api
+
+    class F:
+        retry_fn = staticmethod(lambda *a, **k: None)
+
+    monkeypatch.delenv("AIM_TPU_RETRY_PLANES", raising=False)
+    assert api._retry_stages(F()) == (2,)
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,4")
+    assert api._retry_stages(F()) == (2, 4)
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "bogus")
+    assert api._retry_stages(F()) == (2,)
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,64")  # >8: dropped
+    assert api._retry_stages(F()) == (2,)
+
+    class NoRetry:
+        pass
+
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,4")
+    assert api._retry_stages(NoRetry()) == ()
+
+
+def test_retry_ladder_escalation_host_logic():
+    """Two-stage ladder with a stub: stage planes=2 certifies nothing
+    (and must skip pairs whose skew exceeds C=127); stage planes=4
+    certifies everything it is given.  The stage loop is api.align's —
+    here replicated over _retry_wide exactly as align runs it."""
+    from aim_tpu.api import AlignResult, _retry_wide
+    n = 10
+    R2 = 576
+    cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
+                      backtrace=False, gap_i=1, gap_d=1, mismatch=1)
+    pl = np.full(n, 300, np.int32)
+    tl = np.full(n, 300, np.int32)
+    tl[3] = 300 + 150            # skew > C=127: unfixable at stage 2,
+    tl[7] = 300 + 200            # retried at stage 4 (C=255)
+    pats = np.zeros((n, R2), np.uint8)
+    txts = np.zeros((n, R2), np.uint8)
+    seen = []
+
+    def stub_retry(dp, dt, dpl, dtl, *, cfg, planes=2):
+        m = len(dpl)
+        seen.append((planes, m))
+        runs = np.zeros((m, 256), np.int16)
+        runs[:, 0] = 254
+        runs[:, 1] = planes      # stage id as score, checkable below
+        if planes == 2:
+            runs[:, 0] |= 1 << 8          # stage 2: everything stays
+        return {"packed_runs": runs}      # flagged; stage 4: all good
+
+    res = AlignResult(np.zeros(n, np.int32), None, None, None)
+    sel = np.arange(n)
+    for p in (2, 4):
+        if not len(sel):
+            break
+        sel = _retry_wide(stub_retry, cfg, pats, txts, pl, tl, sel,
+                          res.scores, None, None, None, 0, 2 * R2,
+                          lambda a: a, res, planes=p)
+    assert len(sel) == 0                  # stage 4 certified everything
+    assert (res.scores == 4).all()        # landed by the planes=4 stage
+    # stage 2 never saw the >C127-skew pairs; stage 4 saw all ten
+    assert seen[0][0] == 2 and seen[0][1] >= 8
+    assert any(p == 4 and m >= n for p, m in seen)
+    assert res.n_retry == n
+
+
+@pytest.mark.slow
+def test_retry_ladder_planes4_interpret():
+    """End-to-end ladder stage 4 on the real kernel (interpret mode):
+    an NW pair with length skew 141 — unfixable at C=127 — certifies
+    exactly on the npl=4 band through _retry_wide."""
+    from functools import partial
+    from aim_tpu.api import AlignResult, _retry_wide
+    from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long
+    rng = random.Random(53)
+    R2 = 576
+    pairs = [make_pair(rng, 280, 280 + 141, 3),
+             make_pair(rng, 300, 300, 2)]
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="nw", read_size=R2, max_score=300,
+                      backtrace=True, gap_i=2, gap_d=5, mismatch=1,
+                      variant="hbm")
+    n = len(pl)
+    scores = np.zeros(n, np.int32)
+    max_ops = 2 * R2
+    ops = np.zeros((n, max_ops), np.uint8)
+    begin = np.zeros(n, np.int32)
+    end = np.zeros(n, np.int32)
+    res = AlignResult(scores, ops, begin, end)
+    sel = np.array([0])
+    # stage 2 skips it outright (skew 141 > C=127, host-computable)
+    left = _retry_wide(partial(nwswg_forward_pallas_long, interpret=True),
+                       cfg, pats, txts, pl, tl, sel, scores, ops, begin,
+                       end, 0, max_ops, lambda a: a, res, planes=2)
+    assert list(left) == [0] and res.n_retry == 0
+    # stage 4 certifies it
+    left = _retry_wide(partial(nwswg_forward_pallas_long, interpret=True),
+                       cfg, pats, txts, pl, tl, left, scores, ops, begin,
+                       end, 0, max_ops, lambda a: a, res, planes=4)
+    assert len(left) == 0 and res.n_retry == 1
+    osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl, mismatch=1,
+                                     gap_i=2, gap_d=5, backtrace=True)
+    assert scores[0] == osc[0]
+    assert cigar_of(ops[0], begin[0], end[0]) == cigar_of(oops[0], ob[0],
+                                                          oe[0])

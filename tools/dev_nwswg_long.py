@@ -163,7 +163,7 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None):
                 nc = sum(cigar_of(wops[i], wb[i], we[i])
                          != cigar_of(oops[i], ob[i], oe[i])
                          for i in range(n) if ok[i])
-                print(f"{algo}{'-wide' if planes == 2 else ''} l={l} "
+                print(f"{algo}{f'-npl{planes}' if planes > 1 else ''} l={l} "
                       f"n={n}: compile={tc:.1f}s best={best*1e3:.1f}ms "
                       f"flagged={fb.mean():.2f} cigar_bad={nc}",
                       flush=True)
@@ -176,7 +176,7 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None):
             times[(algo, n)] = best
     for algo in algos:
         marg = (times[(algo, 256)] - times[(algo, 128)]) / 128 * 1e6
-        print(f"{algo}{'-wide' if planes == 2 else ''} l={l}: "
+        print(f"{algo}{f'-npl{planes}' if planes > 1 else ''} l={l}: "
               f"marginal {marg:.1f} us/pair", flush=True)
 
 
@@ -198,6 +198,32 @@ FUZZ_COST_MODELS = [
     ("swg", dict(max_score=400, match=2, mismatch=3, gap_o=1, gap_e=1,
                  variant="hbm"), 1.0),
 ]
+
+
+def fuzz_planes4(seed0=401):
+    """Interpret-mode equality for the npl=4 ladder stage (C=255):
+    multi-block geometry with length skews past the wide band's C=127
+    — only certifiable at 4 planes.  One cost model per algorithm to
+    bound the interpret-mode runtime."""
+    bad = 0
+    for algo, kw, cap in (FUZZ_COST_MODELS[1], FUZZ_COST_MODELS[3]):
+        rng = __import__("random").Random(seed0)
+        pairs = []
+        for i in range(8):
+            lp = rng.randrange(180, 280)
+            # odd pairs: skew past the wide band's C=127 but inside the
+            # npl=4 certification envelope (skew + dmax + 1 <= 255 with
+            # dmax ~ skew/2 under these cheap-gap models => skew <~ 160)
+            skew = rng.randrange(130, 158) if i % 2 else \
+                rng.choice([-1, 0, 1])
+            pairs.append(make_pair(rng, lp, max(1, lp + skew),
+                                   rng.randrange(0, 6)))
+        pats, txts, pl_, tl_ = pack(pairs, 576)
+        cfg = AlignConfig(algo=algo, read_size=576, backtrace=True, **kw)
+        bad += check(cfg, pats, txts, pl_, tl_,
+                     f"{algo}-576-npl4 {kw}", flag_cap=0.5, planes=4)
+    print("FUZZ4", "FAIL" if bad else "OK")
+    return bad
 
 
 def fuzz(seed0=201, n_seeds=2):
@@ -248,6 +274,15 @@ if __name__ == "__main__":
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 4000)
     elif mode == "tpu-wide":
         # SWG e=1% at l=6000: score ~ 180, past the C=63 envelope (132)
-        # but inside the wide one (260) — compile + exactness + marginal
+        # but inside the wide one (260) — compile + exactness + marginal.
+        # Optional 3rd arg = plane count (4 doubles the envelope again:
+        # SWG e=1% to ~18 kbp; needs a real-TPU compile check first).
+        _pl = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        # prove the data really needed THIS band: certified scores must
+        # exceed the previous stage's envelope (~2*C_prev + max_score
+        # terms; 132 is the measured C=63 SWG bound, 260 the C=127 one)
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 6000,
-            planes=2, algos=("swg",), min_over=132)
+            planes=_pl, algos=("swg",), min_over=132 if _pl == 2 else 260)
+    elif mode == "fuzz4":
+        # interpret-mode equality at npl=4 (C=255), multi-block geometry
+        sys.exit(1 if fuzz_planes4() else 0)

@@ -24,6 +24,9 @@ run nwswg_4k python tools/dev_nwswg_long.py tpu 4000
 run nwswg_8k python tools/dev_nwswg_long.py tpu 8000
 # 4b. WIDE band (npl=2) Mosaic compile + exactness + marginal
 run wide python tools/dev_nwswg_long.py tpu-wide 6000
+# 4c. npl=4 ladder stage: compile + exactness at l=12000 (SWG e=1%
+#     score ~360 needs C=255); decides the AIM_TPU_RETRY_PLANES default
+run wide4 python tools/dev_nwswg_long.py tpu-wide 12000 4
 # 5. upload-fusion experiment (decides an api.align transport change)
 run upload_fuse python tools/dev_upload_fuse.py
 # 6. headline bench (also rewrites SCALING.json)
