@@ -115,6 +115,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
                     smfn.requires_packed = getattr(fn, "requires_packed",
                                                    False)
                     smfn.hbm_per_pair = getattr(fn, "hbm_per_pair", None)
+                    smfn.primary_planes = getattr(fn, "primary_planes", 1)
                     rfn = getattr(fn, "retry_fn", None)
                     if rfn is not None:
                         # retry batches shard the same way (sizes are
@@ -270,18 +271,38 @@ _RETRY_DISABLED = set()      # plane counts whose retry tier failed
 
 def _retry_stages(fwd) -> tuple:
     """Escalation ladder for the band-retry tier: plane counts tried in
-    order on still-flagged pairs (band half-width C = 64*planes - 1).
-    Default is the TPU-validated wide band (2); AIM_TPU_RETRY_PLANES
-    (e.g. "2,4") opts into further stages — the kernel is
-    plane-generic, each stage doubles the certified-score envelope."""
+    ascending order on still-flagged pairs (band half-width
+    C = 64*planes - 1).  Default is the TPU-validated wide band (2);
+    AIM_TPU_RETRY_PLANES (e.g. "2,4") opts into further stages — the
+    kernel is plane-generic, each stage doubles the certified-score
+    envelope.  Stages not wider than the PRIMARY tier's band
+    (fwd.primary_planes, e.g. GenASM k>124 already runs npl=2) are
+    dropped: re-running the width that just flagged the pair is a
+    guaranteed-futile device dispatch.  Malformed tokens are warned
+    about, not silently swallowed."""
     if getattr(fwd, "retry_fn", None) is None:
         return ()
-    try:
-        stages = tuple(int(x) for x in os.environ.get(
-            "AIM_TPU_RETRY_PLANES", "2").split(",") if x.strip())
-    except ValueError:
-        stages = (2,)
-    return tuple(p for p in stages if 1 < p <= 8)
+    raw = os.environ.get("AIM_TPU_RETRY_PLANES", "2")
+    stages = set()
+    for tok in raw.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        try:
+            p = int(tok)
+        except ValueError:
+            print(f"AIM_TPU_RETRY_PLANES: ignoring malformed token "
+                  f"{tok!r}", file=sys.stderr)
+            continue
+        if 1 < p <= 8:
+            stages.add(p)
+        else:
+            print(f"AIM_TPU_RETRY_PLANES: ignoring out-of-range plane "
+                  f"count {p} (need 2..8)", file=sys.stderr)
+    if not stages and raw.strip() != "":
+        stages = {2}
+    primary = getattr(fwd, "primary_planes", 1)
+    return tuple(sorted(p for p in stages if p > primary))
 
 
 def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,

@@ -72,6 +72,10 @@ def forward_fn(cfg: AlignConfig):
                 return genasm_forward_pallas_long(*args, planes=planes,
                                                   **kw)
             fn.retry_fn = genasm_retry
+            # k > 124 already runs the npl=2 band as its PRIMARY tier;
+            # _retry_stages drops ladder stages that are not wider.
+            from aim_tpu.ops.genasm_long import _npl
+            fn.primary_planes = _npl(cfg)
             return fn
     if cfg.algo == ALGO_NW:
         from aim_tpu.ops.nw_pallas import (nw_forward_pallas, vmem_fit_nw,

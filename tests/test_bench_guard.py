@@ -9,6 +9,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 
 def _load_bench():
     path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
@@ -60,8 +62,33 @@ def test_bench_probe_retries_then_proceeds_on_success(monkeypatch):
     monkeypatch.setattr(bench, "align", stop, raising=False)
     import aim_tpu.api as api
     monkeypatch.setattr(api, "align", stop)
-    try:
+    with pytest.raises(RuntimeError) as exc:
         bench.main()
-    except RuntimeError as e:
-        assert e is sentinel
+    assert exc.value is sentinel       # main() really got past the probe
     assert len(calls) == 2
+
+
+def test_bench_proceeds_on_fast_child_failure(monkeypatch):
+    # A child that exits nonzero QUICKLY (no timeout) is not outage
+    # evidence: bench must proceed to the real run (which absorbs any
+    # stall itself) instead of emitting a false 'relay unreachable'.
+    bench = _load_bench()
+
+    class FakeFail:
+        returncode = 1
+        stdout = ""
+        stderr = "transient backend error"
+
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda *a, **kw: FakeFail())
+    sentinel = RuntimeError("reached the real run")
+
+    def stop(*a, **kw):
+        raise sentinel
+
+    monkeypatch.setattr(bench, "align", stop, raising=False)
+    import aim_tpu.api as api
+    monkeypatch.setattr(api, "align", stop)
+    with pytest.raises(RuntimeError) as exc:
+        bench.main()
+    assert exc.value is sentinel

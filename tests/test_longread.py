@@ -513,6 +513,21 @@ def test_retry_stages_env_parsing(monkeypatch):
     monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,4")
     assert api._retry_stages(NoRetry()) == ()
 
+    # stages not wider than the primary tier's band are futile and
+    # dropped (e.g. GenASM k>124 already runs npl=2 as its primary)
+    class Primary2(F):
+        primary_planes = 2
+
+    assert api._retry_stages(Primary2()) == (4,)
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2")
+    assert api._retry_stages(Primary2()) == ()
+    # out-of-order / duplicate tokens normalize to ascending unique
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "4,2,2")
+    assert api._retry_stages(F()) == (2, 4)
+    # explicit empty = disable the ladder outright
+    monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "")
+    assert api._retry_stages(F()) == ()
+
 
 def test_retry_ladder_escalation_host_logic():
     """Two-stage ladder with a stub: stage planes=2 certifies nothing
