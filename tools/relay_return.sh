@@ -29,6 +29,10 @@ run wide python tools/dev_nwswg_long.py tpu-wide 6000
 run wide4 python tools/dev_nwswg_long.py tpu-wide 12000 4
 # 5. upload-fusion experiment (decides an api.align transport change)
 run upload_fuse python tools/dev_upload_fuse.py
+# 5b. WFA long-kernel stage ablation (ranks the remaining 97 us/pair:
+#     extend probes vs ring bookkeeping vs plane ops) — informs the
+#     next optimization, no pass/fail
+run ablate python tools/dev_long_ablate.py
 # 6. headline bench (also rewrites SCALING.json)
 run bench python bench.py
 
