@@ -181,3 +181,23 @@ def test_genasm_shard_map_interpret_matches_oracle():
     osc, _, _, _ = nat.genasm_align(pats, txts, pl, tl, max_score=K,
                                     backtrace=False)
     np.testing.assert_array_equal(sc, osc)
+
+
+def test_genasm_long_tier_declares_primary_planes():
+    """k > 124 GenASM configs run the npl=2 band as their PRIMARY tier;
+    the forward fn must say so (fn.primary_planes) or api's retry
+    ladder would futilely re-dispatch the same band width on flagged
+    pairs (a pure waste of ~4 fixed relay transfer costs per chunk)."""
+    from aim_tpu.config import AlignConfig
+    from aim_tpu.ops import pallas_kernels
+    from aim_tpu.ops.genasm_long import _npl
+
+    wide = AlignConfig(algo="genasm", read_size=576, max_score=160,
+                       backtrace=True)
+    fn = pallas_kernels.forward_fn(wide)
+    assert fn is not None and getattr(fn, "primary_planes", 1) == 2 \
+        == _npl(wide)
+    narrow = AlignConfig(algo="genasm", read_size=576, max_score=80,
+                         backtrace=True)
+    fn2 = pallas_kernels.forward_fn(narrow)
+    assert fn2 is not None and getattr(fn2, "primary_planes", 1) == 1
