@@ -176,6 +176,24 @@ def main():
         t_tpu = min(t_tpu, time.perf_counter() - t0)
     tpu_pairs_s = n / t_tpu
 
+    # Same pipeline through the fused-upload transport (one H2D buffer
+    # per chunk + device-side split): quantifies the relay's fixed
+    # per-transfer cost against the extra split dispatch, either way.
+    try:
+        os.environ["AIM_TPU_FUSED_UPLOAD"] = "1"
+        align(pats, txts, plens, tlens, cfg)   # compile the split
+        t_fused = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            align(pats, txts, plens, tlens, cfg)
+            t_fused = min(t_fused, time.perf_counter() - t0)
+        fused_pairs_s = round(n / t_fused, 1)
+    except Exception as e:  # pragma: no cover - bench must always emit
+        print(f"# fused-upload e2e failed: {e}", file=sys.stderr)
+        fused_pairs_s = 0.0
+    finally:
+        os.environ["AIM_TPU_FUSED_UPLOAD"] = "0"
+
     # Honest device-side marginal cost (batch-size-scaling slope).
     try:
         marg_us = marginal_us_per_pair(cfg, pats, txts, plens, tlens)
@@ -422,11 +440,14 @@ def main():
         "value": round(tpu_pairs_s, 1),
         "unit": "pairs/s",
         "vs_baseline": round(tpu_pairs_s / cpu_1t, 3),
-        "marginal_us_per_pair": round(marg_us, 4),
+        # null (never NaN - invalid strict JSON) when the sweep failed
+        "marginal_us_per_pair": round(marg_us, 4)
+        if marg_us == marg_us else None,
         "marginal_pairs_s_chip": round(marg_rate, 1),
         "cpu_1t_pairs_s": round(cpu_1t, 1),
         "cpu_mt_pairs_s": round(cpu_mt, 1),
         "host_cpu_cores": os.cpu_count(),
+        "e2e_fused_upload_pairs_s": fused_pairs_s,
         "vs_cpu_mt_e2e": round(tpu_pairs_s / cpu_mt, 3),
         "vs_cpu_mt_marginal": round(marg_rate / cpu_mt, 3),
         **aux,
