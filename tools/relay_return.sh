@@ -38,3 +38,19 @@ run bench python bench.py
 
 echo "=== summary ==="
 grep -h "marginal\|OK\|FAIL\|pairs/s" /tmp/relay_return/*.log | tail -40
+
+# ---- Decision rules for the results (apply + commit) -----------------
+# wide (npl=2) compiles + exact ........ keep retry default "2"; update
+#   BASELINE.md/README with the measured wide marginal.
+# wide4 (npl=4) compiles + exact ....... flip _retry_stages default to
+#   "2,4" (api.py) so >C127 pairs stay on-device; add the 12 kbp SWG
+#   row to BASELINE.md.  If it OOMs VMEM, keep "2" and note the limit.
+# upload_fuse: align fused=1 beats fused=0 by >10% ... flip the
+#   AIM_TPU_FUSED_UPLOAD default to "1" in api.align (single-device),
+#   re-run bench, update README/PERFNOTES.  Within noise: keep "0".
+# ablate ............................... rank extend/spill/reduce/
+#   compute shares; open the next ROADMAP perf item from the top one.
+# bench ................................ copy the JSON line numbers into
+#   BASELINE.md round-3 table (incl. e2e_fused_upload_pairs_s).
+# Any FAIL ............................. fix before touching defaults;
+#   tests + fuzz gate every kernel change (ROADMAP testing recipe).
