@@ -72,7 +72,10 @@ def _ensure_eager_dispatch():
     np.asarray(b)
 
 
-def _forward_fn(cfg: AlignConfig, device_sharding=None):
+def _forward_fn(cfg: AlignConfig, device_sharding=None, packed_ok=True):
+    """packed_ok=False re-dispatches AFTER pack_seqs found a >4-symbol
+    batch alphabet: packing-requiring Pallas tiers are skipped so a
+    byte-comparing tier (or the exact XLA/host path) serves instead."""
     backend = cfg.backend
     if backend == "auto":
         # The Pallas kernels are TPU-only (Mosaic); any other platform
@@ -85,7 +88,7 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None):
     if backend == "pallas":
         try:
             from aim_tpu.ops import pallas_kernels
-            fn = pallas_kernels.forward_fn(cfg)
+            fn = pallas_kernels.forward_fn(cfg, packed_ok=packed_ok)
             if fn is not None:
                 if device_sharding is not None:
                     # Pallas kernels don't auto-partition under SPMD jit;
@@ -430,6 +433,37 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
             ops[:], begin[:], end[:] = oops, ob, oe
         return res
 
+    # 2-bit-pack the sequence uploads when the batch alphabet allows it
+    # and the backend can unpack on device (H2D is the dominant cost on
+    # this relay; PERFNOTES.md §2).  Decided BEFORE the batch cap: a
+    # >4-symbol batch may re-dispatch to a tier with a different
+    # per-pair HBM footprint.
+    up_pats, up_txts, packed = pats, txts, False
+    fwd_kw = {}
+    if getattr(fwd, "supports_packed", False):
+        from aim_tpu.ops.common import pack_seqs
+        up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
+        fwd_kw["packed"] = packed
+        if not packed and getattr(fwd, "requires_packed", False):
+            # >4-symbol alphabet on a packing-requiring kernel (rare;
+            # DNA always packs): re-dispatch with packed tiers off the
+            # table.  GenASM falls to its byte-comparing streamed long
+            # tier when admitted (ops/genasm_long.py), WFA to the exact
+            # XLA tier; fwd=None (GenASM outside the long tier's
+            # admission) means the exact host oracle serves.
+            fwd = _forward_fn(cfg, device_sharding, packed_ok=False)
+            if fwd is None:
+                t0 = time.perf_counter()
+                osc, oops, ob, oe = _oracle_align(pats, txts, plens,
+                                                  tlens, cfg)
+                res.t_kernel = time.perf_counter() - t0
+                scores[:] = osc
+                if cfg.backtrace:
+                    ops[:], begin[:], end[:] = oops, ob, oe
+                return res
+            fwd_kw = {"packed": False} \
+                if getattr(fwd, "supports_packed", False) else {}
+
     # Constant per-chunk shape (one jit specialization); padded tail pairs
     # have zero lengths and finish immediately.
     ndev = getattr(device_sharding, "num_devices", None) or 1
@@ -450,32 +484,6 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     # reference is strictly sequential too (one push, one launch, one
     # pull - host.c:246-326).
     starts = list(range(0, n, bs))
-
-    # 2-bit-pack the sequence uploads when the batch alphabet allows it
-    # and the backend can unpack on device (H2D is the dominant cost on
-    # this relay; PERFNOTES.md §2).
-    up_pats, up_txts, packed = pats, txts, False
-    fwd_kw = {}
-    if getattr(fwd, "supports_packed", False):
-        from aim_tpu.ops.common import pack_seqs
-        up_pats, up_txts, packed = pack_seqs(pats, txts, plens, tlens, R)
-        fwd_kw["packed"] = packed
-        if not packed and getattr(fwd, "requires_packed", False):
-            # >4-symbol alphabet on a packing-only kernel (rare; DNA
-            # always packs): WFA falls to the exact XLA tier, GenASM to
-            # the host tier.
-            if cfg.algo == ALGO_GENASM:
-                t0 = time.perf_counter()
-                osc, oops, ob, oe = _oracle_align(pats, txts, plens,
-                                                  tlens, cfg)
-                res.t_kernel = time.perf_counter() - t0
-                scores[:] = osc
-                if cfg.backtrace:
-                    ops[:], begin[:], end[:] = oops, ob, oe
-                return res
-            from aim_tpu.ops.wfa_xla import wfa_forward
-            fwd = wfa_forward
-            fwd_kw = {}
 
     # Fused-upload transport (opt-in): one uint8 H2D buffer per chunk,
     # split on device — trades 3 fixed per-transfer relay costs for one

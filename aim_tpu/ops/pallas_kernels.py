@@ -19,13 +19,20 @@ from aim_tpu.config import (ALGO_GENASM, ALGO_NW, ALGO_SWG, ALGO_WFA,
                             AlignConfig, wram_feasible)
 
 
-def forward_fn(cfg: AlignConfig):
+def forward_fn(cfg: AlignConfig, packed_ok: bool = True):
+    """packed_ok=False means the batch alphabet cannot 2-bit-pack
+    (>4 symbols — data-dependent, so api.align re-dispatches with it
+    after pack_seqs fails): tiers whose KERNEL needs packed codes (WFA
+    long extend's packed-word XOR, GenASM's 2-bit PM masks) are skipped
+    so a byte-comparing tier can serve instead."""
     if cfg.algo == ALGO_WFA:
         from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
 
         # Short-read kernel: all state in VMEM (the DPU-WRAM analogue);
         # step-record bit fields cap max_score at 1023 and the fused
         # scratch must fit VMEM (PERFNOTES.md §3) — vmem_fit2 checks both.
+        # Symbols are compared as int32 planes by equality, so ANY byte
+        # alphabet works (packing is transport-only here).
         if vmem_fit2(cfg):
             def fn(*args, **kw):
                 return wfa_forward_pallas2(*args, **kw)
@@ -37,7 +44,7 @@ def forward_fn(cfg: AlignConfig):
         from aim_tpu.ops.wfa_pallas_long import (long_fit,
                                                  wfa_forward_pallas_long)
 
-        if long_fit(cfg):
+        if packed_ok and long_fit(cfg):
             def fn(*args, **kw):
                 return wfa_forward_pallas_long(*args, **kw)
 
@@ -47,7 +54,7 @@ def forward_fn(cfg: AlignConfig):
         from aim_tpu.ops.genasm_pallas import (genasm_forward_pallas,
                                                vmem_fit_genasm)
 
-        if vmem_fit_genasm(cfg):
+        if packed_ok and vmem_fit_genasm(cfg):
             def fn(*args, **kw):
                 return genasm_forward_pallas(*args, **kw)
 
@@ -64,7 +71,9 @@ def forward_fn(cfg: AlignConfig):
             def fn(*args, **kw):
                 return genasm_forward_pallas_long(*args, **kw)
 
-            fn.requires_packed = True
+            # No requires_packed: the underlying streamed NW kernel
+            # compares raw bytes, so this tier serves ANY byte alphabet
+            # (2-bit packing is a transport optimization only).
             fn.out_key = "packed_runs"
             fn.hbm_per_pair = genasm_hbm(cfg)
 

@@ -1,11 +1,14 @@
 """Alphabet coverage: the NW/SWG device tiers (VMEM banded AND
-HBM-streamed) compare symbols as raw bytes, so they serve ANY byte
-alphabet — 2-bit packing is only a transport optimization, not a
-correctness requirement.  Only the WFA kernels and GenASM (bit-parallel
-designs over 2-bit words) require <=4 symbols and fall back to the
-exact XLA/host tiers beyond it (api.align requires_packed gate).
-The reference compares raw chars (e.g. NW/DPU-WRAM/dpu/nw.c:76-94), so
-non-ACGT inputs are reference-parity, not an extension."""
+HBM-streamed), the WFA VMEM kernel (int32 symbol planes compared by
+equality), and the GenASM long tier (a streamed-NW instance) all
+compare raw bytes, so they serve ANY byte alphabet — 2-bit packing is
+only a transport optimization there.  Only the WFA LONG kernel
+(packed-word XOR extend) and the GenASM VMEM kernel (2-bit PM masks)
+require <=4 symbols; api.align re-dispatches those configs with
+packed_ok=False so a byte-comparing tier (or the exact XLA/host path)
+serves instead.  The reference compares raw chars (e.g.
+NW/DPU-WRAM/dpu/nw.c:76-94), so non-ACGT inputs are reference-parity,
+not an extension."""
 
 import numpy as np
 import pytest
@@ -98,3 +101,81 @@ def test_streamed_tier_five_symbol_alphabet(algo):
     # the assertion that matters is exactness on the unflagged pairs
     _check(algo, cfg, nwswg_forward_pallas_long, pats, txts, pl, tl,
            max_flag_frac=0.6)
+
+
+def test_wfa_vmem_tier_five_symbol_alphabet():
+    """The WFA v2 kernel unpacks symbols into int32 planes and compares
+    by equality — exact on any byte alphabet with packed=False."""
+    from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
+    rng = np.random.default_rng(31)
+    R = 48
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=24,
+                      backtrace=True, mismatch=4, gap_o=6, gap_e=2)
+    assert vmem_fit2(cfg)
+    pats, txts, pl, tl = _five_symbol_pairs(rng, 32, R, 24, 46, 0.04)
+    out = wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg, interpret=True,
+                              packed=False)
+    rec = np.asarray(out["step_records"])
+    sc, o, b, e = nat.wfa_steps_to_ops(rec, pl, tl, max_score=cfg.max_score,
+                                       max_ops=2 * R)
+    want, wo, wb, we = nat.wfa_align(pats, txts, pl, tl,
+                                     mismatch=4, gap_o=6, gap_e=2,
+                                     max_score=24, adaptive=False,
+                                     backtrace=True)
+    np.testing.assert_array_equal(sc, want)
+    for i in range(len(pl)):
+        if want[i] <= cfg.max_score:
+            assert cigar_of(o[i], b[i], e[i]) == \
+                cigar_of(wo[i], wb[i], we[i]), i
+
+
+def test_genasm_long_tier_five_symbol_alphabet():
+    """The GenASM long tier is a streamed-NW instance (byte compare):
+    exact on any alphabet with packed=False, so >4-symbol batches stay
+    on-device instead of falling to the host oracle."""
+    from aim_tpu.ops.genasm_long import (genasm_forward_pallas_long,
+                                         long_fit_genasm)
+    rng = np.random.default_rng(37)
+    R, K = 96, 40
+    cfg = AlignConfig(algo="genasm", read_size=R, max_score=K,
+                      backtrace=True)
+    assert long_fit_genasm(cfg)
+    pats, txts, pl, tl = _five_symbol_pairs(rng, 16, R, 50, 90, 0.02)
+    out = genasm_forward_pallas_long(pats, txts, pl, tl, cfg=cfg,
+                                     interpret=True, packed=False)
+    pr = np.asarray(out["packed_runs"])
+    sc = pr[:, 1].astype(np.int32)
+    fb = ((pr[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    assert fb.mean() <= 0.5
+    want, wo, wb, we = nat.genasm_align(pats, txts, pl, tl, max_score=K,
+                                        backtrace=True)
+    good = ~fb
+    assert good.any()
+    np.testing.assert_array_equal(sc[good], want[good])
+    o, b, e = nat.wfa_runs_to_ops(pr, sc, pl, tl, max_score=(1 << 30),
+                                  max_ops=2 * R)
+    for i in range(len(pl)):
+        if good[i] and want[i] <= K:
+            assert cigar_of(o[i], b[i], e[i]) == \
+                cigar_of(wo[i], wb[i], we[i]), i
+
+
+def test_dispatch_packed_ok_reroutes():
+    """forward_fn(cfg, packed_ok=False) must skip packing-requiring
+    tiers: the GenASM VMEM config falls to the byte-comparing long
+    tier, the WFA long config to None (api then takes the XLA tier)."""
+    from aim_tpu.ops import pallas_kernels
+    gcfg = AlignConfig(algo="genasm", read_size=60, max_score=10,
+                       backtrace=True)
+    fn = pallas_kernels.forward_fn(gcfg)
+    assert fn is not None and getattr(fn, "requires_packed", False)
+    fn2 = pallas_kernels.forward_fn(gcfg, packed_ok=False)
+    assert fn2 is not None and not getattr(fn2, "requires_packed", False)
+    assert getattr(fn2, "out_key", None) == "packed_runs"
+
+    wcfg = AlignConfig(algo="wfa", read_size=2000, max_score=500,
+                       backtrace=True, mismatch=4, gap_o=6, gap_e=2,
+                       variant="hbm")
+    fnw = pallas_kernels.forward_fn(wcfg)
+    assert fnw is not None and getattr(fnw, "requires_packed", False)
+    assert pallas_kernels.forward_fn(wcfg, packed_ok=False) is None

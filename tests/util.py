@@ -9,25 +9,29 @@ import numpy as np
 BASES = "ACGT"
 
 
-def make_pair(rng: random.Random, plen: int, tlen: int, nerr: int):
-    p = [rng.choice(BASES) for _ in range(plen)]
+def make_pair(rng: random.Random, plen: int, tlen: int, nerr: int,
+              alphabet: str = BASES):
+    p = [rng.choice(alphabet) for _ in range(plen)]
     t = (list(p[:tlen]) if tlen <= plen
-         else p + [rng.choice(BASES) for _ in range(tlen - plen)])[:tlen]
+         else p + [rng.choice(alphabet) for _ in range(tlen - plen)])[:tlen]
     for _ in range(nerr):
         if not t:
             break
         r = rng.random()
         if r < 0.6:
-            t[rng.randrange(len(t))] = rng.choice(BASES)
+            t[rng.randrange(len(t))] = rng.choice(alphabet)
         elif r < 0.8 and len(t) > 2:
             del t[rng.randrange(len(t))]
         else:
-            t.insert(rng.randrange(len(t) + 1), rng.choice(BASES))
+            t.insert(rng.randrange(len(t) + 1), rng.choice(alphabet))
     return "".join(p), "".join(t)
 
 
-def random_pairs(seed: int, n: int, max_len: int, balanced=True):
-    """Random pairs; includes plen == tlen+1 (tape-aliasing) cases."""
+def random_pairs(seed: int, n: int, max_len: int, balanced=True,
+                 alphabet: str = BASES):
+    """Random pairs; includes plen == tlen+1 (tape-aliasing) cases.
+    A >4-symbol alphabet (e.g. "ACGTN") defeats 2-bit packing and
+    exercises the byte-comparing device tiers / packed_ok re-dispatch."""
     rng = random.Random(seed)
     pairs = []
     for _ in range(n):
@@ -35,7 +39,8 @@ def random_pairs(seed: int, n: int, max_len: int, balanced=True):
         d = rng.choice([-1, -1, 0, 0, 0, 0, 1, 1] if balanced
                        else [-4, -2, -1, 0, 1, 2, 4])
         tlen = max(1, min(max_len, plen + d))
-        pairs.append(make_pair(rng, plen, tlen, rng.randrange(0, 4)))
+        pairs.append(make_pair(rng, plen, tlen, rng.randrange(0, 4),
+                               alphabet))
     return pairs
 
 

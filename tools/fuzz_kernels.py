@@ -99,11 +99,38 @@ CONFIGS = [
     ("genasm", 2560, dict(max_score=200, mismatch=1, gap_i=1, gap_d=1,
                           variant="hbm"),
      dict(max_score=200), 256),
+    # ---- >4-symbol alphabet rows (defeat 2-bit packing): byte-compare
+    # tiers must stay exact, and api.align's packed_ok re-dispatch must
+    # route GenASM-VMEM -> long tier and WFA-long -> XLA tier ----
+    ("nw", 96, dict(max_score=24, gap_i=3, gap_d=2, mismatch=2,
+                    variant="hbm"),
+     dict(mismatch=2, gap_i=3, gap_d=2), 2048, "ACGTN"),
+    ("swg", 48, dict(max_score=30, match=0, mismatch=5, gap_o=6, gap_e=2),
+     dict(match=0, mismatch=5, gap_o=6, gap_e=2, max_score=30),
+     2048, "ACGTN"),
+    # WFA VMEM tier, W16 > 8 geometry, unpacked symbol planes
+    ("wfa", 200, dict(max_score=35, mismatch=4, gap_o=2, gap_e=2,
+                      adaptive=True),
+     dict(mismatch=4, gap_o=2, gap_e=2, max_score=35, adaptive=True),
+     2048, "ACGTN"),
+    # WFA long config: packed_ok=False re-dispatch -> exact XLA tier
+    ("wfa", 256, dict(max_score=100, mismatch=5, gap_o=2, gap_e=1,
+                      adaptive=True, variant="hbm"),
+     dict(mismatch=5, gap_o=2, gap_e=1, max_score=100, adaptive=True),
+     256, "ACGTN"),
+    # GenASM VMEM-fit config: re-dispatch -> byte-comparing long tier
+    ("genasm", 48, dict(max_score=12, mismatch=1, gap_i=1, gap_d=1),
+     dict(max_score=12), 2048, "ACGTN"),
+    # GenASM long tier, 5-symbol
+    ("genasm", 2560, dict(max_score=60, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=60), 256, "ACGTN"),
 ]
 
 
-def run_one(algo, R, kw, okw, seed, n=2048):  # noqa: C901
-    pairs = random_pairs(seed=seed, n=n, max_len=R - 8, balanced=False)
+def run_one(algo, R, kw, okw, seed, n=2048, alphabet="ACGT"):  # noqa: C901
+    pairs = random_pairs(seed=seed, n=n, max_len=R - 8, balanced=False,
+                         alphabet=alphabet)
     pats, txts, pl, tl = pack(pairs, R)
     cfg = AlignConfig(algo=algo, read_size=R, backtrace=True, **kw)
     res = align(pats, txts, pl, tl, cfg)
@@ -123,8 +150,9 @@ def run_one(algo, R, kw, okw, seed, n=2048):  # noqa: C901
     cbad = sum(1 for i in range(n)
                if oops[i][ob[i]:oe[i]].tobytes() !=
                res.ops[i][res.begin[i]:res.end[i]].tobytes())
-    print(f"{algo} R={R} {kw} seed={seed}: fallback={res.n_fallback} "
-          f"score_bad={sbad} cigar_bad={cbad}", flush=True)
+    print(f"{algo} R={R} {kw} alpha={len(set(alphabet))} seed={seed}: "
+          f"fallback={res.n_fallback} score_bad={sbad} cigar_bad={cbad}",
+          flush=True)
     if sbad or cbad:
         for i in range(n):
             if res.scores[i] != osc[i] or \
@@ -142,8 +170,9 @@ def main():
     for cfg_row in CONFIGS:
         algo, R, kw, okw = cfg_row[:4]
         n = cfg_row[4] if len(cfg_row) > 4 else 2048
+        alphabet = cfg_row[5] if len(cfg_row) > 5 else "ACGT"
         for s in range(seed0, seed0 + n_seeds):
-            bad += run_one(algo, R, kw, okw, s, n=n)
+            bad += run_one(algo, R, kw, okw, s, n=n, alphabet=alphabet)
     print("TOTAL BAD:", bad)
     sys.exit(1 if bad else 0)
 
