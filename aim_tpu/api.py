@@ -495,46 +495,89 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     unfuse = _make_unfuse(bs, up_pats.shape[1], up_txts.shape[1]) \
         if fuse else None
 
+    # Overlapped transport (opt-in, AIM_TPU_OVERLAP=1): on a
+    # direct-attached TPU the XLA runtime pipelines H2D copies with
+    # kernel execution when the host never blocks between dispatches,
+    # so the wave loop dispatches wave w+1 while wave w computes and
+    # only blocks to pull results (2-wave backpressure bounds device
+    # memory to the same scale as the sequential path).  NEVER the
+    # default on this relay: queued async work lands in a permanent
+    # ~20-30 ms/dispatch slow path (measured, PERFNOTES.md §1) — which
+    # is exactly why the default path blocks after every step.
+    overlap = os.environ.get("AIM_TPU_OVERLAP", "0") == "1"
+
     # Rolling waves bound host+device memory on very large runs while
     # keeping the per-wave upload-all -> execute-each -> pull-once shape.
     WAVE = 8
     hosts = []
-    for w0 in range(0, len(starts), WAVE):
-        wave = starts[w0:w0 + WAVE]
-        t0 = time.perf_counter()
-        uploads = []
-        for lo in wave:
-            chunk = slice(lo, min(lo + bs, n))
-            cp, ct, cpl, ctl = _pad_batch(
-                [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]],
-                bs)
-            if fuse:
-                # split immediately (eager mode executes synchronously,
-                # so this never queues async work — PERFNOTES.md §1) and
-                # drop the fused buffer before the next upload.
-                four = unfuse(put(_fuse_chunk(cp, ct, cpl, ctl)))
-                jax.block_until_ready(four)
-                uploads.append(four)
-            else:
-                uploads.append((put(cp), put(ct), put(cpl), put(ctl)))
-        jax.block_until_ready(uploads)
-        res.t_load += time.perf_counter() - t0
 
-        outs = []
-        for (dp, dt, dpl, dtl) in uploads:
-            t1 = time.perf_counter()
-            out = fwd(dp, dt, dpl, dtl, cfg=cfg, **fwd_kw)
-            jax.block_until_ready(out)
-            res.t_kernel += time.perf_counter() - t1
-            outs.append(out)
-        del uploads
+    def upload_chunk(lo):
+        chunk = slice(lo, min(lo + bs, n))
+        cp, ct, cpl, ctl = _pad_batch(
+            [up_pats[chunk], up_txts[chunk], plens[chunk], tlens[chunk]],
+            bs)
+        if fuse:
+            return unfuse(put(_fuse_chunk(cp, ct, cpl, ctl)))
+        return (put(cp), put(ct), put(cpl), put(ctl))
 
-        t2 = time.perf_counter()
-        flat, tree = jax.tree.flatten(outs)
-        host_flat = jax.device_get(flat)
-        hosts.extend(jax.tree.unflatten(tree, host_flat))
-        res.t_retrieve += time.perf_counter() - t2
-        del outs
+    if overlap:
+        # Dispatch every chunk without blocking — the runtime pipelines
+        # H2D with compute — and pull wave w-1 while wave w runs.
+        # Phase attribution is approximate here (phases overlap): the
+        # dispatch span counts as t_load, the pulls as t_retrieve, and
+        # t_kernel absorbs the final drain.
+        pending = []
+        for w0 in range(0, len(starts), WAVE):
+            t0 = time.perf_counter()
+            outs = []
+            for lo in starts[w0:w0 + WAVE]:
+                args = upload_chunk(lo)
+                outs.append(fwd(*args, cfg=cfg, **fwd_kw))
+            pending.append(outs)
+            res.t_load += time.perf_counter() - t0
+            if len(pending) > 1:
+                t2 = time.perf_counter()
+                flat, tree = jax.tree.flatten(pending.pop(0))
+                hosts.extend(jax.tree.unflatten(tree, jax.device_get(flat)))
+                res.t_retrieve += time.perf_counter() - t2
+        t1 = time.perf_counter()
+        for done in pending:
+            flat, tree = jax.tree.flatten(done)
+            hosts.extend(jax.tree.unflatten(tree, jax.device_get(flat)))
+        res.t_kernel += time.perf_counter() - t1
+    else:
+        for w0 in range(0, len(starts), WAVE):
+            wave = starts[w0:w0 + WAVE]
+            t0 = time.perf_counter()
+            uploads = []
+            for lo in wave:
+                if fuse:
+                    # split immediately (eager mode executes synchronously,
+                    # so this never queues async work — PERFNOTES.md §1)
+                    # and drop the fused buffer before the next upload.
+                    four = upload_chunk(lo)
+                    jax.block_until_ready(four)
+                    uploads.append(four)
+                else:
+                    uploads.append(upload_chunk(lo))
+            jax.block_until_ready(uploads)
+            res.t_load += time.perf_counter() - t0
+
+            outs = []
+            for (dp, dt, dpl, dtl) in uploads:
+                t1 = time.perf_counter()
+                out = fwd(dp, dt, dpl, dtl, cfg=cfg, **fwd_kw)
+                jax.block_until_ready(out)
+                res.t_kernel += time.perf_counter() - t1
+                outs.append(out)
+            del uploads
+
+            t2 = time.perf_counter()
+            flat, tree = jax.tree.flatten(outs)
+            host_flat = jax.device_get(flat)
+            hosts.extend(jax.tree.unflatten(tree, host_flat))
+            res.t_retrieve += time.perf_counter() - t2
+            del outs
 
     for lo, out in zip(starts, hosts):
         hi = min(lo + bs, n)
