@@ -422,17 +422,6 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     end = np.zeros(n, np.int32) if cfg.backtrace else None
     res = AlignResult(scores, ops, begin, end)
 
-    if fwd is None:
-        # Host tier (GenASM beyond the Pallas gate / non-TPU platforms):
-        # the exact multi-threaded native oracle IS the compute path.
-        t0 = time.perf_counter()
-        osc, oops, ob, oe = _oracle_align(pats, txts, plens, tlens, cfg)
-        res.t_kernel = time.perf_counter() - t0
-        scores[:] = osc
-        if cfg.backtrace:
-            ops[:], begin[:], end[:] = oops, ob, oe
-        return res
-
     # 2-bit-pack the sequence uploads when the batch alphabet allows it
     # and the backend can unpack on device (H2D is the dominant cost on
     # this relay; PERFNOTES.md §2).  Decided BEFORE the batch cap: a
@@ -450,19 +439,21 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
             # table.  GenASM falls to its byte-comparing streamed long
             # tier when admitted (ops/genasm_long.py), WFA to the exact
             # XLA tier; fwd=None (GenASM outside the long tier's
-            # admission) means the exact host oracle serves.
+            # admission) falls through to the host-oracle branch below.
             fwd = _forward_fn(cfg, device_sharding, packed_ok=False)
-            if fwd is None:
-                t0 = time.perf_counter()
-                osc, oops, ob, oe = _oracle_align(pats, txts, plens,
-                                                  tlens, cfg)
-                res.t_kernel = time.perf_counter() - t0
-                scores[:] = osc
-                if cfg.backtrace:
-                    ops[:], begin[:], end[:] = oops, ob, oe
-                return res
             fwd_kw = {"packed": False} \
                 if getattr(fwd, "supports_packed", False) else {}
+
+    if fwd is None:
+        # Host tier (GenASM beyond the Pallas gates / non-TPU platforms):
+        # the exact multi-threaded native oracle IS the compute path.
+        t0 = time.perf_counter()
+        osc, oops, ob, oe = _oracle_align(pats, txts, plens, tlens, cfg)
+        res.t_kernel = time.perf_counter() - t0
+        scores[:] = osc
+        if cfg.backtrace:
+            ops[:], begin[:], end[:] = oops, ob, oe
+        return res
 
     # Constant per-chunk shape (one jit specialization); padded tail pairs
     # have zero lengths and finish immediately.
@@ -523,28 +514,25 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
     if overlap:
         # Dispatch every chunk without blocking — the runtime pipelines
         # H2D with compute — and pull wave w-1 while wave w runs.
-        # Phase attribution is approximate here (phases overlap): the
-        # dispatch span counts as t_load, the pulls as t_retrieve, and
-        # t_kernel absorbs the final drain.
+        # The three phases genuinely overlap here, so there is no honest
+        # per-phase split: the WHOLE pipelined span is booked to t_kernel
+        # (the device is busy throughout — also what the energy estimate
+        # and device log should see), t_load/t_retrieve stay 0.
+        t0 = time.perf_counter()
         pending = []
         for w0 in range(0, len(starts), WAVE):
-            t0 = time.perf_counter()
             outs = []
             for lo in starts[w0:w0 + WAVE]:
                 args = upload_chunk(lo)
                 outs.append(fwd(*args, cfg=cfg, **fwd_kw))
             pending.append(outs)
-            res.t_load += time.perf_counter() - t0
             if len(pending) > 1:
-                t2 = time.perf_counter()
                 flat, tree = jax.tree.flatten(pending.pop(0))
                 hosts.extend(jax.tree.unflatten(tree, jax.device_get(flat)))
-                res.t_retrieve += time.perf_counter() - t2
-        t1 = time.perf_counter()
         for done in pending:
             flat, tree = jax.tree.flatten(done)
             hosts.extend(jax.tree.unflatten(tree, jax.device_get(flat)))
-        res.t_kernel += time.perf_counter() - t1
+        res.t_kernel += time.perf_counter() - t0
     else:
         for w0 in range(0, len(starts), WAVE):
             wave = starts[w0:w0 + WAVE]
