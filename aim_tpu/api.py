@@ -404,11 +404,58 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     return sel[fb2]
 
 
+def _difficulty_order(pats, txts, plens, tlens):
+    """Stable ascending sort order by a cheap edit-distance proxy
+    (subsampled diagonal Hamming count + length skew).  Grouping
+    similar-difficulty pairs into the same kernel tile lets each tile's
+    while-loop exit at ITS hardest pair instead of the batch-wide tail —
+    the mitigation SURVEY §7.3 names for per-pair termination divergence
+    ("sort pairs by estimated difficulty within a batch; keep output
+    order via idx").  Column subsampling (<= 512 sampled positions)
+    keeps the host pass cheap at long read lengths."""
+    pl = np.asarray(plens).astype(np.int64)
+    tl = np.asarray(tlens).astype(np.int64)
+    step = max(1, pats.shape[1] // 512)
+    pos = np.arange(0, pats.shape[1], step)
+    valid = pos[None, :] < np.minimum(pl, tl)[:, None]
+    ham = ((pats[:, pos] != txts[:, pos]) & valid).sum(1).astype(np.int64)
+    return np.argsort(ham * step + np.abs(pl - tl), kind="stable")
+
+
 def align(pats, txts, plens, tlens, cfg: AlignConfig,
           device_sharding=None) -> AlignResult:
     """Align a packed pair batch.  Returns scores (+ ops buffers when
     cfg.backtrace).  Device work runs in cfg.batch_pairs chunks.
-    """
+
+    AIM_TPU_SORT=1 runs the device work in estimated-difficulty order
+    (output order is restored — the pair idx contract is unchanged).
+    Single-device only: a sorted batch sharded CONTIGUOUSLY would hand
+    one device all the hardest pairs, and the dispatch waits for the
+    slowest shard."""
+    sort = (os.environ.get("AIM_TPU_SORT", "0") == "1"
+            and device_sharding is None and len(np.asarray(plens)) > 128)
+    if sort:
+        t0 = time.perf_counter()
+        order = _difficulty_order(pats, txts, plens, tlens)
+        t_sort = time.perf_counter() - t0
+        res = _align_impl(pats[order], txts[order],
+                          np.asarray(plens)[order],
+                          np.asarray(tlens)[order], cfg, device_sharding)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return AlignResult(
+            res.scores[inv],
+            res.ops[inv] if res.ops is not None else None,
+            res.begin[inv] if res.begin is not None else None,
+            res.end[inv] if res.end is not None else None,
+            t_load=res.t_load + t_sort, t_kernel=res.t_kernel,
+            t_retrieve=res.t_retrieve, n_fallback=res.n_fallback,
+            n_retry=res.n_retry)
+    return _align_impl(pats, txts, plens, tlens, cfg, device_sharding)
+
+
+def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
+                device_sharding=None) -> AlignResult:
     cfg.validate()
     _ensure_eager_dispatch()
     n = pats.shape[0]

@@ -182,3 +182,42 @@ def test_wfa_vmem_tier_gate_rp256():
     assert not vmem_fit2(big)
     fn = forward_fn(big)
     assert fn is not None and getattr(fn, "requires_packed", False)
+
+
+def test_wfa_pallas_v2_rp256_boundary_exact():
+    """The admission boundary itself: R=254 -> Rp=256, W16=16 — the
+    LAST geometry the VMEM kernel serves.  Field 15 of the 4-bit
+    next-word table (value <= 15, the encoding maximum) and the
+    fidx=16 unwritten-plane probe (terminator-guarded, wfa_pallas2
+    first_mismatch_from) are both live only here; lengths pinned near
+    R land hi_b and the extension offsets in word 15."""
+    import random
+    from aim_tpu.ops.wfa_pallas2 import vmem_fit2, wfa_forward_pallas2
+    from tests.util import make_pair
+    R, K = 254, 14
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=K,
+                      backtrace=True, mismatch=3, gap_o=4, gap_e=1,
+                      adaptive=True)
+    assert vmem_fit2(cfg)
+    rng = random.Random(3)
+    pairs = []
+    while len(pairs) < 128:
+        p, t = make_pair(rng, rng.randrange(235, 248),
+                         rng.randrange(236, 249), rng.randrange(0, 5))
+        if len(p) <= R and len(t) <= R:
+            pairs.append((p, t))
+    pats, txts, pl, tl = pack(pairs, R)
+    out = wfa_forward_pallas2(pats, txts, pl, tl, cfg=cfg, interpret=True,
+                              packed=False)
+    recs = np.asarray(out["step_records"])
+    sc, wops, wb, we = nat.wfa_steps_to_ops(recs, pl, tl, max_score=K,
+                                            max_ops=2 * R)
+    osc, oops, ob, oe = nat.wfa_align(pats, txts, pl, tl, mismatch=3,
+                                      gap_o=4, gap_e=1, max_score=K,
+                                      adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    assert (osc <= K).sum() > 32
+    for i in range(len(pairs)):
+        if osc[i] <= K:
+            assert cigar_of(oops[i], ob[i], oe[i]) == \
+                cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])

@@ -52,6 +52,12 @@ CONFIGS = [
     ("wfa", 200, dict(max_score=35, mismatch=4, gap_o=2, gap_e=2,
                       adaptive=True),
      dict(mismatch=4, gap_o=2, gap_e=2, max_score=35, adaptive=True)),
+    # VMEM-tier admission boundary itself: R=254 -> Rp=256, W16=16 (the
+    # 4-bit next-word fields at their encoding maximum + the fidx=16
+    # terminator-guarded probe — live only at this exact geometry)
+    ("wfa", 254, dict(max_score=30, mismatch=3, gap_o=4, gap_e=1,
+                      adaptive=True),
+     dict(mismatch=3, gap_o=4, gap_e=1, max_score=30, adaptive=True)),
     # beyond the VMEM tier: exercises the HBM-spill long-read kernel
     # (ring spill, level-walk prefetch, gather extend) under non-default
     # cost models
@@ -99,6 +105,17 @@ CONFIGS = [
     ("genasm", 2560, dict(max_score=200, mismatch=1, gap_i=1, gap_d=1,
                           variant="hbm"),
      dict(max_score=200), 256),
+    # GenASM plane-count boundary: k=124 is the LAST npl=1 config,
+    # k=125 the FIRST static npl=2, k=252 the admission cap
+    ("genasm", 2560, dict(max_score=124, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=124), 256),
+    ("genasm", 2560, dict(max_score=125, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=125), 256),
+    ("genasm", 2560, dict(max_score=252, mismatch=1, gap_i=1, gap_d=1,
+                          variant="hbm"),
+     dict(max_score=252), 256),
     # ---- >4-symbol alphabet rows (defeat 2-bit packing): byte-compare
     # tiers must stay exact, and api.align's packed_ok re-dispatch must
     # route GenASM-VMEM -> long tier and WFA-long -> XLA tier ----

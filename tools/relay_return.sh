@@ -33,6 +33,9 @@ run upload_fuse python tools/dev_upload_fuse.py
 #     extend probes vs ring bookkeeping vs plane ops) — informs the
 #     next optimization, no pass/fail
 run ablate python tools/dev_long_ablate.py
+# 5c. difficulty-sort gain at 10 kbp (tile-max effect) — decides the
+#     AIM_TPU_SORT recommendation for long-read runs
+run sort_gain python tools/dev_sort_gain.py
 # 6. headline bench (also rewrites SCALING.json)
 run bench python bench.py
 
