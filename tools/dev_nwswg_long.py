@@ -116,12 +116,18 @@ def fourk():
     return bad
 
 
-def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None):
+def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01):
     """Real-TPU exactness + marginal for the streamed tier.  planes=2
     measures the wide band; min_over asserts some certified score
-    exceeds that bound (proof the data really needs the wide band)."""
+    exceeds that bound (proof the data really needs the wide band).
+    e tunes the substitution rate: the 16 kbp cap row uses 0.007 so SWG
+    scores land in (260, 400] — certified npl=4 work, not max_score
+    overflow records."""
     import jax
-    R = -(-(l + max(64, l // 8)) // 32) * 32
+    # synth() is substitutions-only (lengths == l exactly), so the slack
+    # is pure headroom — clamp to the admission cap for the 16 kbp row
+    R = min(-(-(l + max(64, l // 8)) // 32) * 32, 16352)
+    assert R >= l
     times = {}
     for algo in algos:
         cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
@@ -131,7 +137,7 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None):
                            backtrace=True, match=0, mismatch=3, gap_o=4,
                            gap_e=1, variant="hbm"))
         for n in (128, 256):
-            pats, txts, pl_, tl_ = synth(n, l, 0.01, R, seed=3)
+            pats, txts, pl_, tl_ = synth(n, l, e, R, seed=3)
             dp = jax.device_put(pats)
             dt_ = jax.device_put(txts)
             dpl = jax.device_put(pl_.astype(np.int32))
@@ -282,7 +288,8 @@ if __name__ == "__main__":
         # exceed the previous stage's envelope (~2*C_prev + max_score
         # terms; 132 is the measured C=63 SWG bound, 260 the C=127 one)
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 6000,
-            planes=_pl, algos=("swg",), min_over=132 if _pl == 2 else 260)
+            planes=_pl, algos=("swg",), min_over=132 if _pl == 2 else 260,
+            e=float(sys.argv[4]) if len(sys.argv) > 4 else 0.01)
     elif mode == "fuzz4":
         # interpret-mode equality at npl=4 (C=255), multi-block geometry
         sys.exit(1 if fuzz_planes4() else 0)

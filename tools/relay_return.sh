@@ -27,6 +27,11 @@ run wide python tools/dev_nwswg_long.py tpu-wide 6000
 # 4c. npl=4 ladder stage: compile + exactness at l=12000 (SWG e=1%
 #     score ~360 needs C=255); decides the AIM_TPU_RETRY_PLANES default
 run wide4 python tools/dev_nwswg_long.py tpu-wide 12000 4
+# 4d. admission-cap substantiation: l=16000 (R near the 16352 gate) on
+#     the npl=4 band — the documented "to ~16 kbp / ~18 kbp" envelope
+#     is measured, not inferred.  Skipped automatically if wide4 FAILs.
+#     (e=0.7%: SWG scores ~340 — certified npl=4 work, not overflow)
+run wide4_16k python tools/dev_nwswg_long.py tpu-wide 16000 4 0.007
 # 5. upload-fusion experiment (decides an api.align transport change)
 run upload_fuse python tools/dev_upload_fuse.py
 # 5b. WFA long-kernel stage ablation (ranks the remaining 97 us/pair:
