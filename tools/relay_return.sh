@@ -58,6 +58,13 @@ grep -h "marginal\|OK\|FAIL\|pairs/s" /tmp/relay_return/*.log | tail -40
 #   re-run bench, update README/PERFNOTES.  Within noise: keep "0".
 # ablate ............................... rank extend/spill/reduce/
 #   compute shares; open the next ROADMAP perf item from the top one.
+# sort_gain: >=3% at 10 kbp ............ flip AIM_TPU_SORT default to
+#   on for single-device long-read runs (api.align gate: read_size
+#   threshold), re-run bench, record in BASELINE.md.  Within noise:
+#   keep "0" (the README row already documents the knob).
+# wide4_16k compiles + exact ........... update the certified envelope
+#   rows (README/PARITY/BASELINE) from "inferred ~16-18 kbp" to
+#   "measured at 16 kbp"; FAIL => record the real ceiling instead.
 # bench ................................ copy the JSON line numbers into
 #   BASELINE.md round-3 table (incl. e2e_fused_upload_pairs_s).
 # Any FAIL ............................. fix before touching defaults;
