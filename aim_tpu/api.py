@@ -121,8 +121,8 @@ def _forward_fn(cfg: AlignConfig, device_sharding=None, packed_ok=True):
                     smfn.primary_planes = getattr(fn, "primary_planes", 1)
                     rfn = getattr(fn, "retry_fn", None)
                     if rfn is not None:
-                        # retry batches shard the same way (sizes are
-                        # powers of two >= 128, divisible by any mesh)
+                        # retry batches shard the same way (_retry_wide
+                        # pads them to a multiple of the mesh alignment)
                         def smretry(pats, txts, plens, tlens, *, cfg, **kw):
                             def one(*args):
                                 return rfn(*args, cfg=cfg, **kw)
@@ -309,7 +309,8 @@ def _retry_stages(fwd) -> tuple:
 
 
 def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
-                ops, begin, end, lo, max_ops, put, res, planes=2):
+                ops, begin, end, lo, max_ops, put, res, planes=2,
+                pad_align=8):
     """Re-run a chunk's flagged pairs through the kernel's wide-band
     retry tier (on-device, band half-width C = 64*planes - 1).
     Successful (unflagged) retries land their scores/CIGARs directly;
@@ -341,16 +342,22 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
             return sel
         left = _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens,
                            keep, scores, ops, begin, end, lo, max_ops,
-                           put, res, planes)
+                           put, res, planes, pad_align)
         return np.sort(np.concatenate([sel[unfix], left]))
 
     # Cap the retry batch so the band's ~planes-x per-pair HBM footprint
     # stays inside the same budget the main batch cap enforces (at the
     # largest admitted R the cap itself is the binding limit, not 8192).
-    from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _long_hpp
+    # GenASM retries dispatch the NW unit-cost kernel, so its footprint
+    # is the NW one (ops/genasm_long.hbm_per_pair), not the raw-algo
+    # figure (which would take the SWG 64R branch and halve the cap).
+    if cfg.algo == ALGO_GENASM:
+        from aim_tpu.ops.genasm_long import hbm_per_pair as _retry_hpp
+    else:
+        from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _retry_hpp
     cap = 128
     budget_cap = _memory_batch_cap(cfg, True,
-                                   per_pair=planes * _long_hpp(cfg))
+                                   per_pair=planes * _retry_hpp(cfg))
     while cap * 2 <= min(8192, budget_cap):
         cap *= 2
     if len(sel) > cap:
@@ -359,13 +366,17 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
             out_sel.append(_retry_wide(retry, cfg, cpats, ctxts, cplens,
                                        ctlens, sel[s0:s0 + cap], scores,
                                        ops, begin, end, lo, max_ops, put,
-                                       res, planes))
+                                       res, planes, pad_align))
         return np.concatenate(out_sel)
 
     m = len(sel)
     pad = 128
     while pad < m:
         pad *= 2
+    # shard_map partitions the 'pairs' axis, so sharded retries must pad
+    # to a multiple of the mesh alignment too (a bare power of two is NOT
+    # divisible by e.g. a 6-device mesh)
+    pad = -(-pad // pad_align) * pad_align
 
     def padto(a):
         return np.pad(a, ((0, pad - m),) + ((0, 0),) * (a.ndim - 1))
@@ -614,6 +625,9 @@ def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
             res.t_retrieve += time.perf_counter() - t2
             del outs
 
+    # parse the ladder env once per align() call (also: one warning per
+    # malformed token, not one per flagged chunk)
+    retry_stages = _retry_stages(fwd)
     for lo, out in zip(starts, hosts):
         hi = min(lo + bs, n)
         chunk = slice(lo, hi)
@@ -678,13 +692,13 @@ def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
         if fb is not None and fb.any():
             sel = np.nonzero(fb)[0]
             retry = getattr(fwd, "retry_fn", None)
-            for p in _retry_stages(fwd):
+            for p in retry_stages:
                 if not len(sel):
                     break
                 sel = _retry_wide(retry, cfg, pats[chunk], txts[chunk],
                                   plens[chunk], tlens[chunk], sel, scores,
                                   ops, begin, end, lo, max_ops, put, res,
-                                  planes=p)
+                                  planes=p, pad_align=align_to)
             if not len(sel):
                 continue
             res.n_fallback += len(sel)

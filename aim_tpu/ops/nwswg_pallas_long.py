@@ -115,20 +115,30 @@ def hbm_per_pair(cfg: AlignConfig) -> int:
     planes (16R), plus XLA temporaries building the planes (~2x mm).
     api._memory_batch_cap uses this instead of the VMEM-tier constant.
     (The npl=2 retry tier doubles the plane terms but runs on the small
-    flagged subset, so the npl=1 figure governs the batch cap.)"""
+    flagged subset, so the npl=1 figure governs the batch cap.)
+    Score-only runs declare no code/is-match outputs, so those terms
+    vanish and the admissible batch roughly doubles."""
     R = cfg.read_size
     codes = 32 * R if cfg.algo == ALGO_NW else 64 * R
+    if not cfg.backtrace:
+        return 16 * R + 48 * R + 4 * R + 1024
     return 16 * R + codes + 16 * R + 48 * R + 4 * R + 1024
 
 
 # ===================== forward kernel =====================
 
-def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
-                mm_ref, lens_ref, cb_ref, ism_ref, meta_ref, car_ref):
+def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
     """One row-block of the banded forward.  Band state lives in npl
     plane lists (plane k covers band positions 128k..128k+127); car_ref
     rows (plane-major, r*npl+k): 0..2 carry planes (NW uses row 0),
-    3 score_acc, 4 ovf_acc, 5 cacc, 6 iacc."""
+    3 score_acc, 4 ovf_acc, 5 cacc, 6 iacc.  Score-only runs declare no
+    cb/ism outputs at all (every write is backtrace-guarded), so the
+    grid pipeline never streams the unwritten blocks to HBM."""
+    if cfg.backtrace:
+        mm_ref, lens_ref, cb_ref, ism_ref, meta_ref, car_ref = refs
+    else:
+        mm_ref, lens_ref, meta_ref, car_ref = refs
+        cb_ref = ism_ref = None
     algo = cfg.algo
     R = cfg.read_size
     C = band_c(npl)
@@ -487,8 +497,14 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
 
     @pl.when(b == 0)
     def _():
-        st_ref[0] = jnp.broadcast_to(tlens, (P, 128))
-        st_ref[1] = jnp.broadcast_to(plens, (P, 128))
+        # Forward-flagged pairs (meta flag => score uncertified => bit
+        # 8+9 set on the record regardless) never walk: their codes may
+        # be garbage (e.g. mrun=0 cycles that would burn the shared
+        # iteration budget and starve the tile's good pairs), and their
+        # walk output is discarded anyway.
+        live = jnp.broadcast_to(meta_ref[:, 1:2] == 0, (P, 128))
+        st_ref[0] = jnp.where(live, jnp.broadcast_to(tlens, (P, 128)), 0)
+        st_ref[1] = jnp.where(live, jnp.broadcast_to(plens, (P, 128)), 0)
         zero = jnp.zeros((P, 128), I32)
         st_ref[2] = zero
         st_ref[3] = zero
@@ -685,7 +701,12 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
                 return (it + 1, hcur, vcur, layer, runs, rc, top_op,
                         top_len)
 
-        st0 = (st_ref[5], st_ref[0], st_ref[1], st_ref[6],
+        # Fresh iteration budget PER BLOCK: it_cap bounds any single
+        # pair's legitimate steps (every active pair advances each
+        # iteration), but different pairs walk different row blocks —
+        # a tile-global budget could exhaust on one block's work and
+        # falsely flag pairs still waiting for lower blocks.
+        st0 = (jnp.zeros((P, 128), I32), st_ref[0], st_ref[1], st_ref[6],
                racc_ref[:, :], st_ref[4], st_ref[2], st_ref[3])
         it, hcur, vcur, layer, runs, rc, top_op, top_len = \
             jax.lax.while_loop(bt_cond, bt_body, st0)
@@ -817,7 +838,22 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     W = (RB // 32) * npl
     Q = RBQ * npl
     fwd = functools.partial(_fwd_kernel, cfg, NBK, RB, npl)
-    cb, ism, meta = pl.pallas_call(
+    meta_spec = pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    meta_shape = jax.ShapeDtypeStruct((T, P, 128), I32)
+    bt_specs = (
+        pl.BlockSpec((None, None, Q, P, 128),
+                     lambda t, b: (t, b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, None, W, P, 128),
+                     lambda t, b: (t, b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    bt_shapes = (
+        jax.ShapeDtypeStruct((T, NBK, Q, P, 128), I32),
+        jax.ShapeDtypeStruct((T, NBK, W, P, 128), I32),
+    )
+    outs = pl.pallas_call(
         fwd,
         grid=(T, NBK),
         in_specs=[
@@ -827,26 +863,19 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
             pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((None, None, Q, P, 128),
-                         lambda t, b: (t, b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, W, P, 128),
-                         lambda t, b: (t, b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 128), lambda t, b: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, NBK, Q, P, 128), I32),
-            jax.ShapeDtypeStruct((T, NBK, W, P, 128), I32),
-            jax.ShapeDtypeStruct((T, P, 128), I32),
-        ),
+        # score-only runs emit ONLY the meta plane: the cb/ism history
+        # blocks are neither allocated nor streamed (hbm_per_pair drops
+        # their terms accordingly)
+        out_specs=(bt_specs + (meta_spec,)) if cfg.backtrace
+        else (meta_spec,),
+        out_shape=(bt_shapes + (meta_shape,)) if cfg.backtrace
+        else (meta_shape,),
         scratch_shapes=[pltpu.VMEM((7 * npl, P, 128), I32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(mm, lens)
+    cb, ism, meta = outs if cfg.backtrace else (None, None, outs[0])
 
     if not cfg.backtrace:
         scores = meta[:, :, 0].reshape(n)

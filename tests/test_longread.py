@@ -488,6 +488,26 @@ def test_retry_wide_chunking_and_skip_host_logic():
     # batches stayed within the budget-derived / 8192 cap
     assert all(m <= 8192 for m in calls) and len(calls) >= 1
 
+    # sharded runs pass the mesh alignment: retry batches must pad to a
+    # multiple of it (a bare power of two is NOT divisible by e.g. a
+    # 6-device mesh, which would disable the tier via the except path)
+    calls6 = []
+
+    def stub6(dp, dt, dpl, dtl, *, cfg, planes=2):
+        m = len(dpl)
+        calls6.append(m)
+        assert m % 48 == 0 and m >= 128
+        runs = np.zeros((m, 256), np.int16)
+        runs[:, 0] = 254
+        runs[:, 1] = 7
+        return {"packed_runs": runs}
+
+    res2 = AlignResult(np.zeros(n, np.int32), None, None, None)
+    left2 = _retry_wide(stub6, cfg, pats, txts, pl, tl, np.arange(n),
+                        res2.scores, None, None, None, 0, 2 * R2,
+                        lambda a: a, res2, pad_align=48)
+    assert sorted(left2) == [5, 6] and len(calls6) >= 1
+
 
 def test_retry_stages_env_parsing(monkeypatch):
     """The escalation ladder is env-configurable (AIM_TPU_RETRY_PLANES);
@@ -612,3 +632,33 @@ def test_retry_ladder_planes4_interpret():
     assert scores[0] == osc[0]
     assert cigar_of(ops[0], begin[0], end[0]) == cigar_of(oops[0], ob[0],
                                                           oe[0])
+
+
+def test_streamed_score_only_interpret():
+    """backtrace=False declares a meta-only forward (no cb/ism outputs
+    allocated or streamed — hbm_per_pair drops those terms): scores and
+    flags must match the backtrace run's."""
+    from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
+                                               nwswg_forward_pallas_long)
+    from tests.util import random_pairs
+    R = 96
+    pairs = random_pairs(seed=7, n=128, max_len=90, balanced=False)
+    pats, txts, pl, tl = pack(pairs, R)
+    for algo in ("nw", "swg"):
+        mk = dict(algo=algo, read_size=R, variant="hbm")
+        mk.update(dict(gap_i=2, gap_d=3, mismatch=3, max_score=60)
+                  if algo == "nw" else
+                  dict(match=0, mismatch=3, gap_o=4, gap_e=1,
+                       max_score=400))
+        cso = AlignConfig(backtrace=False, **mk)
+        cbt = AlignConfig(backtrace=True, **mk)
+        assert hbm_per_pair(cso) < hbm_per_pair(cbt)
+        so = np.asarray(nwswg_forward_pallas_long(
+            pats, txts, pl, tl, cfg=cso, interpret=True)["packed_runs"])
+        bt = np.asarray(nwswg_forward_pallas_long(
+            pats, txts, pl, tl, cfg=cbt, interpret=True)["packed_runs"])
+        np.testing.assert_array_equal(so[:, 1], bt[:, 1], err_msg=algo)
+        # score-only flag (bit 9) must imply the backtrace run's flag
+        so9 = (so[:, 0].astype(np.int32) >> 9) & 1
+        bt8 = (bt[:, 0].astype(np.int32) >> 8) & 1
+        assert (so9 <= bt8).all(), algo
