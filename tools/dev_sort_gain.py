@@ -49,6 +49,29 @@ def bench_once(cfg, pats, txts, pl_, tl_):
     return best, sc
 
 
+def bench_v2(cfg, pats, txts, pl_, tl_):
+    """Same protocol for the VMEM v2 kernel (the headline config): at
+    smax=5/e=1%, ~36% of pairs score 0 — sorted, whole 128-pair tiles
+    of them exit the while-loop at step 0 instead of riding to the
+    tile max."""
+    from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2
+    pp, pt, ok = pack_seqs(pats, txts, pl_, tl_, cfg.read_size)
+    assert ok
+    dp, dt = jax.device_put(pp), jax.device_put(pt)
+    dpl, dtl = jax.device_put(pl_), jax.device_put(tl_)
+    jax.block_until_ready((dp, dt, dpl, dtl))
+    out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=True)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=True)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    recs = np.asarray(out["step_records"])
+    return best, recs[:, cfg.max_score + 3].astype(np.int32)
+
+
 def main():
     l = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
@@ -60,12 +83,27 @@ def main():
     t_so, sc_so = bench_once(cfg, pats[order], txts[order], pl_[order],
                              tl_[order])
     assert (sc_so == sc_un[order]).all(), "sorted run changed scores!"
-    print(f"l={l} n={n} smax={cfg.max_score}: unsorted {1e6 * t_un / n:.1f}"
-          f" us/pair, sorted {1e6 * t_so / n:.1f} us/pair "
+    print(f"LONG l={l} n={n} smax={cfg.max_score}: "
+          f"unsorted {1e6 * t_un / n:.1f} us/pair, "
+          f"sorted {1e6 * t_so / n:.1f} us/pair "
           f"(gain {100 * (1 - t_so / t_un):.1f}%) "
           f"score mean={sc_un.mean():.0f} sd={sc_un.std():.1f}")
-    print("DECISION: export AIM_TPU_SORT=1 for long-read api.align runs"
-          if t_so < 0.97 * t_un else
+
+    # headline config: VMEM v2 kernel, 100 bp / e=1%
+    n2 = 65536
+    cfg2 = derive_config("wfa", 100, 0.01, backtrace=True, adaptive=True)
+    p2, t2, pl2, tl2 = synth(n2, 100, 0.01, cfg2.read_size, seed=7)
+    tv_un, sv_un = bench_v2(cfg2, p2, t2, pl2, tl2)
+    o2 = _difficulty_order(p2, t2, pl2, tl2)
+    tv_so, sv_so = bench_v2(cfg2, p2[o2], t2[o2], pl2[o2], tl2[o2])
+    assert (sv_so == sv_un[o2]).all(), "sorted v2 run changed scores!"
+    print(f"V2 l=100 n={n2} smax={cfg2.max_score}: "
+          f"unsorted {1e9 * tv_un / n2:.1f} ns/pair, "
+          f"sorted {1e9 * tv_so / n2:.1f} ns/pair "
+          f"(gain {100 * (1 - tv_so / tv_un):.1f}%)")
+    gain = (t_so < 0.97 * t_un) or (tv_so < 0.97 * tv_un)
+    print("DECISION: export AIM_TPU_SORT=1 for single-device api.align runs"
+          if gain else
           "DECISION: keep AIM_TPU_SORT=0 (gain within noise)")
 
 
