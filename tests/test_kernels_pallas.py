@@ -221,3 +221,20 @@ def test_wfa_pallas_v2_rp256_boundary_exact():
         if osc[i] <= K:
             assert cigar_of(oops[i], ob[i], oe[i]) == \
                 cigar_of(wops[i], wb[i], we[i]), (i, pairs[i])
+
+
+@pytest.mark.slow
+def test_vmem_randomized_cost_model_fuzz():
+    """One round of the randomized-cost-model interpret fuzz for all
+    four VMEM kernels (tools/dev_vmem_fuzz.py) — direct Pallas kernel
+    coverage that fuzz_kernels.py cannot give on CPU hosts (api.align
+    serves XLA tiers there)."""
+    import random as _random
+    import tools.dev_vmem_fuzz as vf
+    rng = _random.Random(977 * 7919)
+    bad = ran = 0
+    for fn in (vf.fuzz_nw, vf.fuzz_swg, vf.fuzz_wfa2, vf.fuzz_genasm):
+        b, d = fn(rng, 977)
+        bad += b
+        ran += d
+    assert bad == 0 and ran >= 2
