@@ -62,9 +62,12 @@ extern "C" long aim_parse_pairs(const char *path, long max_pairs, int read_size,
 
   long pos = 0, n = 0, line_no = 0;
   while (n < max_pairs && pos < fsize) {
-    // Pattern line.
+    // Pattern line (memchr: the byte-at-a-time scan measured 2x slower,
+    // PERFNOTES.md §5).
     long start1 = pos;
-    while (pos < fsize && buf[pos] != '\n') ++pos;
+    const char *nl1 = (const char *)memchr(buf.data() + pos, '\n',
+                                           (size_t)(fsize - pos));
+    pos = nl1 ? (long)(nl1 - buf.data()) : fsize;
     long len1 = pos - start1 + (pos < fsize ? 1 : 0);  // getline-style length
     if (pos < fsize) ++pos;
     if (len1 <= 0) break;
@@ -72,7 +75,9 @@ extern "C" long aim_parse_pairs(const char *path, long max_pairs, int read_size,
     // Text line.
     if (pos >= fsize) break;
     long start2 = pos;
-    while (pos < fsize && buf[pos] != '\n') ++pos;
+    const char *nl2 = (const char *)memchr(buf.data() + pos, '\n',
+                                           (size_t)(fsize - pos));
+    pos = nl2 ? (long)(nl2 - buf.data()) : fsize;
     long len2 = pos - start2 + (pos < fsize ? 1 : 0);
     if (pos < fsize) ++pos;
     ++line_no;
@@ -1116,6 +1121,26 @@ extern "C" void aim_wfa_steps_to_ops(const int32_t *records, long sr,
 // Returns bytes written, or -1 on error.
 // ---------------------------------------------------------------------------
 
+// Decimal formatter (manual): fprintf per token measured ~1.1 M
+// pairs/s/core with CIGARs (PERFNOTES.md §5) — the emit stage needs
+// ~20 host cores per chip at that rate.  Bytes are identical to the
+// "%d"-based version.
+static inline char *fmt_i32(char *p, int32_t v) {
+  uint32_t u = (uint32_t)v;
+  if (v < 0) {
+    *p++ = '-';
+    u = 0u - u;
+  }
+  char tmp[10];
+  int k = 0;
+  do {
+    tmp[k++] = (char)('0' + (u % 10u));
+    u /= 10u;
+  } while (u);
+  while (k) *p++ = tmp[--k];
+  return p;
+}
+
 extern "C" long aim_emit_output(const char *path, const int32_t *idx,
                      const int32_t *scores, const char *ops,
                      const int32_t *begin_off, const int32_t *end_off, long n,
@@ -1124,8 +1149,18 @@ extern "C" long aim_emit_output(const char *path, const int32_t *idx,
   if (!f) return -1;
   std::vector<char> iobuf(1 << 22);
   std::setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+  // per-pair scratch: header (<=34 B) + worst-case CIGAR (max_ops runs
+  // of "NNNNNc") + '\n'
+  std::vector<char> line(64 + (size_t)max_ops * 12);
   for (long i = 0; i < n; ++i) {
-    std::fprintf(f, "%d, %d, \n", idx ? idx[i] : (int32_t)i, scores[i]);
+    char *p = line.data();
+    p = fmt_i32(p, idx ? idx[i] : (int32_t)i);
+    *p++ = ',';
+    *p++ = ' ';
+    p = fmt_i32(p, scores[i]);
+    *p++ = ',';
+    *p++ = ' ';
+    *p++ = '\n';
     if (backtrace) {
       const char *o = ops + i * max_ops;
       int b = begin_off[i], e = end_off[i];
@@ -1135,13 +1170,17 @@ extern "C" long aim_emit_output(const char *path, const int32_t *idx,
         if (o[j] == last) {
           ++run;
         } else {
-          std::fprintf(f, "%d%c", run, last);
+          p = fmt_i32(p, run);
+          *p++ = last;
           last = o[j];
           run = 1;
         }
       }
-      std::fprintf(f, "%d%c\n", run, last);
+      p = fmt_i32(p, run);
+      *p++ = last;
+      *p++ = '\n';
     }
+    std::fwrite(line.data(), 1, (size_t)(p - line.data()), f);
   }
   long sz = std::ftell(f);
   std::fclose(f);
