@@ -1197,10 +1197,63 @@ extern "C" long aim_emit_output(const char *path, const int32_t *idx,
 // only compare pattern bytes against text bytes for equality).
 // ---------------------------------------------------------------------------
 
+// SWAR row packer for the canonical DNA alphabet: recode (c >> 1) & 3
+// (A->0, C->1, T->2, G->3 — injective over {A,C,G,T}; padding byte 0
+// -> 0, like lut[0]).  Codes are opaque to every consumer — kernels
+// compare pattern codes with text codes for equality only, and both
+// arrays come from this same call — so the assignment may differ from
+// the generic LUT path's sorted order.
+static inline void pack_row_acgt(const uint8_t *src, uint8_t *dst,
+                                 int read_size, int rb) {
+  const int full = read_size / 4;  // whole 4-byte groups inside the row
+  for (int b = 0; b < full && b < rb; ++b) {
+    uint32_t x;
+    std::memcpy(&x, src + 4 * b, 4);
+    const uint32_t y = (x >> 1) & 0x03030303u;
+    dst[b] = (uint8_t)((y | (y >> 6) | (y >> 12) | (y >> 18)) & 0xFFu);
+  }
+  for (int b = full; b < rb; ++b) {
+    uint8_t v = 0;
+    for (int q = 0; q < 4; ++q) {
+      const int j = 4 * b + q;
+      if (j < read_size) v |= (uint8_t)(((src[j] >> 1) & 3) << (2 * q));
+    }
+    dst[b] = v;
+  }
+}
+
 extern "C" int aim_pack_seqs(const uint8_t *pats, const uint8_t *txts,
                              const int32_t *plens, const int32_t *tlens,
                              long n, int read_size, int rp,
                              uint8_t *out_p, uint8_t *out_t) {
+  // Fast scan: is every valid byte in {A,C,G,T}?  Branch-free
+  // accumulate (auto-vectorizes under -O3); rejects interior NULs for
+  // free (0 is not in the set).  The canonical datasets always take
+  // this path — the generic seen[]/LUT scan below only runs for
+  // non-ACGT alphabets.
+  uint8_t nonacgt = 0;
+  for (long i = 0; i < n; ++i) {
+    const uint8_t *p = pats + i * read_size;
+    const uint8_t *t = txts + i * read_size;
+    const int pl = plens[i], tl = tlens[i];
+    for (int j = 0; j < pl; ++j) {
+      const uint8_t c = p[j];
+      nonacgt |= (uint8_t)(!(c == 'A' || c == 'C' || c == 'G' || c == 'T'));
+    }
+    for (int j = 0; j < tl; ++j) {
+      const uint8_t c = t[j];
+      nonacgt |= (uint8_t)(!(c == 'A' || c == 'C' || c == 'G' || c == 'T'));
+    }
+  }
+  const int rb = rp / 4;
+  if (!nonacgt) {
+    for (long i = 0; i < n; ++i) {
+      pack_row_acgt(pats + i * read_size, out_p + i * rb, read_size, rb);
+      pack_row_acgt(txts + i * read_size, out_t + i * rb, read_size, rb);
+    }
+    return 1;
+  }
+
   bool seen[256] = {false};
   for (long i = 0; i < n; ++i) {
     const uint8_t *p = pats + i * read_size;
@@ -1223,7 +1276,6 @@ extern "C" int aim_pack_seqs(const uint8_t *pats, const uint8_t *txts,
       lut[c] = (uint8_t)nsym++;
     }
   }
-  const int rb = rp / 4;
   for (long i = 0; i < n; ++i) {
     const uint8_t *p = pats + i * read_size;
     const uint8_t *t = txts + i * read_size;
