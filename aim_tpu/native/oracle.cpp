@@ -87,8 +87,10 @@ extern "C" long aim_parse_pairs(const char *path, long max_pairs, int read_size,
     if (plen > read_size || tlen > read_size) return -(line_no);
     if (plen < 0) plen = 0;
     if (tlen < 0) tlen = 0;
-    std::memset(patterns + n * read_size, 0, (size_t)read_size);
-    std::memset(texts + n * read_size, 0, (size_t)read_size);
+    // tail-only memset: the head is overwritten by the memcpy (halves
+    // the store traffic; parse is the host-pipeline floor, PERFNOTES §5)
+    std::memset(patterns + n * read_size + plen, 0, (size_t)(read_size - plen));
+    std::memset(texts + n * read_size + tlen, 0, (size_t)(read_size - tlen));
     std::memcpy(patterns + n * read_size, buf.data() + start1 + 1, (size_t)plen);
     std::memcpy(texts + n * read_size, buf.data() + start2 + 1, (size_t)tlen);
     pattern_lens[n] = (int32_t)plen;
@@ -224,8 +226,8 @@ extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
     }
     if (plen < 0) plen = 0;
     if (tlen < 0) tlen = 0;
-    std::memset(patterns + n * read_size, 0, (size_t)read_size);
-    std::memset(texts + n * read_size, 0, (size_t)read_size);
+    std::memset(patterns + n * read_size + plen, 0, (size_t)(read_size - plen));
+    std::memset(texts + n * read_size + tlen, 0, (size_t)(read_size - tlen));
     std::memcpy(patterns + n * read_size, line1.data() + 1, (size_t)plen);
     std::memcpy(texts + n * read_size, r.line.data() + 1, (size_t)tlen);
     pattern_lens[n] = (int32_t)plen;
