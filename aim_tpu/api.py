@@ -49,6 +49,7 @@ class AlignResult:
 
 
 _EAGER_DONE = False
+_BUDGET_LOGGED = False
 
 
 def _ensure_eager_dispatch():
@@ -194,14 +195,27 @@ def _device_memory_budget(default_bytes=2 << 30) -> int:
     buffering, and the framework's own outputs), with a conservative
     fallback when the runtime exposes no stats (CPU meshes report none).
     The analogue of the reference's 64 MB MRAM capacity constant
-    (ref: common/mram-management.h:27 DPU_CAPACITY)."""
+    (ref: common/mram-management.h:27 DPU_CAPACITY).
+
+    Logs (once) which budget was chosen: the HBM-tier batch cap silently
+    means something different on a stats-less CPU mesh vs a real TPU."""
+    global _BUDGET_LOGGED
     try:
         stats = jax.devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
         if limit and limit > 0:
+            if not _BUDGET_LOGGED:
+                _BUDGET_LOGGED = True
+                print(f"device memory budget: {int(limit) // 2 >> 20} MiB "
+                      "(half the runtime-reported limit)", file=sys.stderr)
             return int(limit) // 2
     except Exception:
         pass
+    if not _BUDGET_LOGGED:
+        _BUDGET_LOGGED = True
+        print(f"device memory budget: {default_bytes >> 20} MiB "
+              "(no runtime memory stats — conservative default)",
+              file=sys.stderr)
     return default_bytes
 
 
@@ -415,6 +429,39 @@ def _retry_wide(retry, cfg, cpats, ctxts, cplens, ctlens, sel, scores,
     return sel[fb2]
 
 
+def _plan_bs(cfg: AlignConfig, fwd, n: int, ndev: int):
+    """Device chunk size + alignment: one jit specialization per run,
+    capped by the per-pair HBM footprint (the reference launchers'
+    MRAM-fit shrink-loop analogue) and rounded to the mesh alignment."""
+    align_to = max(8, 8 * ndev)
+    bs = min(cfg.batch_pairs,
+             _memory_batch_cap(cfg, getattr(fwd, "supports_packed", False),
+                               per_pair=getattr(fwd, "hbm_per_pair", None)),
+             -(-n // align_to) * align_to)
+    return max(-(-bs // align_to) * align_to, align_to), align_to
+
+
+def _deal_order(order, n: int, bs: int, ndev: int):
+    """Shard-aware dealing of a difficulty-sorted order (VERDICT r3 item
+    5): within each device chunk, sorted pairs are dealt round-robin
+    across the ndev contiguous device blocks, so every shard gets a
+    balanced difficulty mix (a contiguously sharded globally-sorted
+    batch would hand one device all the hardest pairs and the dispatch
+    would wait on it) while each block stays internally sorted — the
+    tile-grouping win the sort exists for (SURVEY §7.3)."""
+    perm = np.empty(n, dtype=order.dtype)
+    blk = max(1, bs // ndev)
+    for c0 in range(0, n, bs):
+        m = min(bs, n - c0)
+        band = order[c0:c0 + m]
+        pos = np.arange(m)
+        # Dealing order: visit chunk positions by (slot-within-block,
+        # block) so turn j lands in block j % ndev at slot j // ndev.
+        deal = np.lexsort((pos // blk, pos % blk))
+        perm[c0 + deal] = band
+    return perm
+
+
 def _difficulty_order(pats, txts, plens, tlens):
     """Stable ascending sort order by a cheap edit-distance proxy
     (subsampled diagonal Hamming count + length skew).  Grouping
@@ -440,14 +487,20 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
 
     AIM_TPU_SORT=1 runs the device work in estimated-difficulty order
     (output order is restored — the pair idx contract is unchanged).
-    Single-device only: a sorted batch sharded CONTIGUOUSLY would hand
-    one device all the hardest pairs, and the dispatch waits for the
-    slowest shard."""
+    Under sharding the sorted order is dealt round-robin across the
+    device blocks of each chunk (see _deal_order): every shard keeps a
+    balanced difficulty mix, every block stays internally sorted."""
     sort = (os.environ.get("AIM_TPU_SORT", "0") == "1"
-            and device_sharding is None and len(np.asarray(plens)) > 128)
+            and len(np.asarray(plens)) > 128)
     if sort:
         t0 = time.perf_counter()
         order = _difficulty_order(pats, txts, plens, tlens)
+        ndev = getattr(device_sharding, "num_devices", None) or 1
+        if ndev > 1:
+            n = len(order)
+            bs, _ = _plan_bs(cfg, _forward_fn(cfg, device_sharding), n,
+                             ndev)
+            order = _deal_order(order, n, bs, ndev)
         t_sort = time.perf_counter() - t0
         res = _align_impl(pats[order], txts[order],
                           np.asarray(plens)[order],
@@ -516,12 +569,7 @@ def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
     # Constant per-chunk shape (one jit specialization); padded tail pairs
     # have zero lengths and finish immediately.
     ndev = getattr(device_sharding, "num_devices", None) or 1
-    align_to = max(8, 8 * ndev)
-    bs = min(cfg.batch_pairs,
-             _memory_batch_cap(cfg, getattr(fwd, "supports_packed", False),
-                               per_pair=getattr(fwd, "hbm_per_pair", None)),
-             -(-n // align_to) * align_to)
-    bs = max(-(-bs // align_to) * align_to, align_to)
+    bs, align_to = _plan_bs(cfg, fwd, n, ndev)
     def put(a):
         return jax.device_put(a) if device_sharding is None \
             else jax.device_put(a, device_sharding)

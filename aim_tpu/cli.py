@@ -93,6 +93,19 @@ def build_parser() -> argparse.ArgumentParser:
     common(wfa, affine=True)
     wfa.add_argument("-r", "--reduced", action="store_true",
                      help="Enable WFA-Adaptive")
+    gen = sub.add_parser(
+        "gen", help="generate a synthetic pair file (the WFA repository's "
+                    "generate_dataset semantics the reference points at; "
+                    "ref: Datasets/README.md:18-26)")
+    gen.add_argument("-o", "--output", type=str, required=True,
+                     help="Output pair file path")
+    gen.add_argument("-n", "--number_reads", type=int, required=True,
+                     help="Number of read pairs to generate")
+    gen.add_argument("-l", "--read_length", type=int, required=True,
+                     help="Pattern length")
+    gen.add_argument("-e", "--error", type=float, required=True,
+                     help="Edit-error rate (ceil(l*e) edits per pair)")
+    gen.add_argument("--seed", type=int, default=0)
     return ap
 
 
@@ -138,6 +151,16 @@ def config_from_args(args) -> "AlignConfig":
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.algo == "gen":
+        if args.read_length <= 0 or args.number_reads <= 0:
+            print("Undefined read length / number of reads")
+            return -1
+        from aim_tpu.datagen import write_pair_file
+        n = write_pair_file(args.output, args.number_reads,
+                            args.read_length, args.error, seed=args.seed)
+        print(f"wrote {n} pairs (l={args.read_length}, e={args.error}) "
+              f"to {args.output}")
+        return 0
     if args.read_length <= 0:
         print("Undefined input read length")
         return -1

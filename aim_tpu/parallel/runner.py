@@ -12,6 +12,7 @@ Device-level (intra-host) parallelism uses the pairs mesh (see mesh.py).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 import numpy as np
@@ -87,6 +88,8 @@ def _concat_parts(output_path: str, n_processes: int, timeout_s=600):
             time.sleep(0.2)
     with open(output_path, "wb") as out:
         for p in parts:
+            # Chunked copy: a 10^7-pair backtrace run makes multi-GB
+            # parts; keep concatenation constant-memory.
             with open(p, "rb") as f:
-                out.write(f.read())
+                shutil.copyfileobj(f, out, length=8 << 20)
             os.remove(p)

@@ -13,7 +13,12 @@ import aim_tpu.native as nat
 from aim_tpu.api import align
 from aim_tpu.config import derive_config
 
-SAMPLE = "/root/reference/Datasets/sample-l100-e1-40K"
+REF_SAMPLE = "/root/reference/Datasets/sample-l100-e1-40K"
+# Self-contained fallback: the checked-in generator sample (VERDICT r3
+# item 6) keeps these tests green without the reference mount.
+LOCAL_SAMPLE = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "sample-l100-e1-2K")
+SAMPLE = REF_SAMPLE if os.path.exists(REF_SAMPLE) else LOCAL_SAMPLE
 N_SUB = 1024  # CPU-XLA subset; the full runs happen on TPU (BASELINE.md)
 
 
@@ -40,7 +45,6 @@ def _assert_equal(res, osc, oops, ob, oe, n):
             res.ops[i][res.begin[i]:res.end[i]].tobytes(), i
 
 
-@pytest.mark.skipif(not os.path.exists(SAMPLE), reason="dataset not mounted")
 @pytest.mark.parametrize("algo", ["wfa", "nw", "swg"])
 def test_sample_dataset_subset_equality(algo):
     cfg = derive_config(algo, 100, 0.01, backtrace=True,
@@ -87,8 +91,9 @@ ERR = "/root/reference/Datasets/ERR240727-l100-e1-30000Pairs"
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.exists(SAMPLE), reason="dataset not mounted")
-@pytest.mark.parametrize("path,n", [(SAMPLE, 40000), (ERR, 30000)])
+@pytest.mark.skipif(not os.path.exists(REF_SAMPLE),
+                    reason="dataset not mounted")
+@pytest.mark.parametrize("path,n", [(REF_SAMPLE, 40000), (ERR, 30000)])
 @pytest.mark.parametrize("algo", ["wfa", "nw", "swg", "genasm"])
 def test_full_dataset_byte_identity(tmp_path, algo, path, n):
     """The BASELINE.md full-dataset claim, reproducible in-tree: the whole

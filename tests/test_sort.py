@@ -50,7 +50,10 @@ def test_sorted_identical(algo, monkeypatch):
     assert base.n_fallback == sort.n_fallback
 
 
-def test_sort_noop_under_sharding(monkeypatch):
+def test_sort_exact_under_sharding(monkeypatch):
+    # Shard-aware sort (VERDICT r3 item 5): results restored to the idx
+    # contract, bit-identical to the oracle, with the sort active on a
+    # multi-device mesh.
     jax = pytest.importorskip("jax")
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     devs = np.array(jax.devices()[:8])
@@ -64,10 +67,45 @@ def test_sort_noop_under_sharding(monkeypatch):
     pats, txts, pl, tl = pack(pairs, cfg.read_size)
     res = api.align(pats, txts, pl, tl, cfg, device_sharding=sharding)
     from aim_tpu import native
-    want, *_ = native.nw_align(pats, txts, pl, tl, mismatch=cfg.mismatch,
-                               gap_i=cfg.gap_i, gap_d=cfg.gap_d,
-                               backtrace=False)
+    want, wops, wb, we = native.nw_align(
+        pats, txts, pl, tl, mismatch=cfg.mismatch, gap_i=cfg.gap_i,
+        gap_d=cfg.gap_d, backtrace=True)
     np.testing.assert_array_equal(res.scores, want)
+    for i in range(len(pl)):
+        assert wops[i][wb[i]:we[i]].tobytes() == \
+            res.ops[i][res.begin[i]:res.end[i]].tobytes(), i
+
+
+def test_deal_order_balances_shards_and_sorts_blocks():
+    # The dealt permutation: (a) is a permutation, (b) gives every device
+    # block of every chunk a balanced difficulty mix (no block hoards the
+    # hardest pairs), (c) keeps each block internally difficulty-sorted.
+    n, bs, ndev = 512, 128, 4
+    rng = np.random.default_rng(5)
+    difficulty = rng.permutation(n).astype(np.int64)
+    order = np.argsort(difficulty, kind="stable")
+    perm = api._deal_order(order, n, bs, ndev)
+    assert sorted(perm) == list(range(n))
+    blk = bs // ndev
+    for c0 in range(0, n, bs):
+        ranks_in_chunk = []
+        for d in range(ndev):
+            block = perm[c0 + d * blk: c0 + (d + 1) * blk]
+            r = difficulty[block]
+            assert (np.diff(r) > 0).all(), "block not internally sorted"
+            ranks_in_chunk.append(r.mean())
+        # balanced: block means within one dealing stride of each other
+        assert max(ranks_in_chunk) - min(ranks_in_chunk) < ndev + 1
+
+
+def test_deal_order_partial_tail_chunk():
+    # A tail chunk shorter than bs (and shorter than one block) must
+    # still produce a valid permutation.
+    n, bs, ndev = 300, 128, 4
+    order = np.argsort(np.random.default_rng(9).permutation(n),
+                       kind="stable").astype(np.int64)
+    perm = api._deal_order(order, n, bs, ndev)
+    assert sorted(perm) == list(range(n))
 
 
 def test_difficulty_order_subsampling():
