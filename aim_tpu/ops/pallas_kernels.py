@@ -40,7 +40,10 @@ def forward_fn(cfg: AlignConfig, packed_ok: bool = True):
             return fn
 
         # Long-read kernel: wavefront ring in VMEM, history spilled to
-        # HBM (the DPU-MRAM analogue); needs 2-bit-packable inputs.
+        # HBM (the DPU-MRAM analogue).  2-bit-packable batches take the
+        # 14-base-word extend; >4-symbol batches run the same kernel
+        # with 3-byte words (the reference compares raw bytes everywhere,
+        # ref: WFA/DPU-MRAM/dpu/wfa.c:193-215 — no alphabet restriction).
         from aim_tpu.ops.wfa_pallas_long import (long_fit,
                                                  wfa_forward_pallas_long)
 
@@ -49,6 +52,15 @@ def forward_fn(cfg: AlignConfig, packed_ok: bool = True):
                 return wfa_forward_pallas_long(*args, **kw)
 
             fn.requires_packed = True
+            return fn
+        if not packed_ok and long_fit(cfg, bytes_mode=True):
+            from aim_tpu.ops.wfa_pallas_long import (
+                wfa_forward_pallas_long_bytes)
+
+            def fn(*args, **kw):
+                kw.pop("packed", None)  # raw bytes straight to the kernel
+                return wfa_forward_pallas_long_bytes(*args, **kw)
+
             return fn
     if cfg.algo == ALGO_GENASM:
         from aim_tpu.ops.genasm_pallas import (genasm_forward_pallas,

@@ -58,7 +58,10 @@ BIG = 2 ** 20
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
 _CW = 4          # extend scan-window words per round (TPU-tuned)
-WB = 14         # bases per packed word (28 bits < 2**28: relay-safe)
+WB = 14         # bases per packed word, 2-bit mode (28 bits: relay-safe)
+WB_BYTES = 3    # bases per word, byte mode (24 bits — arbitrary alphabets;
+#                 the reference kernels compare raw bytes everywhere,
+#                 ref: WFA/DPU-MRAM/dpu/wfa.c:193-215)
 MASK28 = (1 << 28) - 1
 
 
@@ -66,16 +69,21 @@ def record_cols(smax: int) -> int:
     return _round_up(smax + 4, 128)
 
 
-def _div_wb(x):
-    """floor(x / WB) for 0 <= x < ~2^15 via exact-enough f32 multiply
+def _wb_of(bytes_mode: bool) -> tuple:
+    """(bases per word, bits per base) for the two extend word layouts."""
+    return (WB_BYTES, 8) if bytes_mode else (WB, 2)
+
+
+def _div_wb(x, wb=WB):
+    """floor(x / wb) for 0 <= x < ~2^15 via exact-enough f32 multiply
     (the +0.5 nudge keeps the product away from integers; the f32
-    relative error ~1e-7 cannot cross the 0.5/WB gap)."""
-    q = jnp.floor((x.astype(F32) + 0.5) * (1.0 / WB)).astype(I32)
+    relative error ~1e-7 cannot cross the 0.5/wb gap)."""
+    q = jnp.floor((x.astype(F32) + 0.5) * (1.0 / wb)).astype(I32)
     return q
 
 
 def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
-                     WRM: int, WRE: int,
+                     WRM: int, WRE: int, bytes_mode: bool,
                      patw_ref, txtw_ref, lens_ref,
                      recs_ref, hist_ref,
                      ring_m, ring_i, ring_d, btb_ref, side_ref,
@@ -85,6 +93,12 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     x, go, ge = cfg.mismatch, cfg.gap_o, cfg.gap_e
     NB = Wp // 128
     NC = Kp // 128
+    # Extend word layout: wb bases per word, bpb bits per base (2-bit
+    # packed DNA or raw bytes — identical machinery, different widths).
+    wb, bpb = _wb_of(bytes_mode)
+    bsh = bpb.bit_length() - 1          # log2(bpb): bit index -> base index
+    wbits = bpb * wb                    # payload bits per word (28 / 24)
+    wmask = (1 << wbits) - 1
 
     plens = lens_ref[:, 0:1]                # [P, 1]
     tlens = lens_ref[:, 1:2]
@@ -96,10 +110,10 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     nullk = jnp.full((P, Kp), NULL, I16)
 
     def ctz28(z):
-        """Count trailing zeros of z in (0, 2^28); returns 28 for z == 0."""
+        """Count trailing zeros of z in (0, 2^wbits); wbits for z == 0."""
         lsb = (z & (0 - z)).astype(F32)
         e = (jax.lax.bitcast_convert_type(lsb, I32) >> 23) - 127
-        return jnp.where(z != 0, e, 28)
+        return jnp.where(z != 0, e, wbits)
 
     lio128 = jax.lax.broadcasted_iota(I32, (P, 128), 1)
 
@@ -133,8 +147,8 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
                                 lambda a: a, accs)
         return list(accs)
 
-    CW = _CW  # scan window: CW words = 14*CW bases per round
-    C0 = smax // WB + 1  # offset making 14*C0 - k >= 0 for all diagonals
+    CW = _CW  # scan window: CW words = wb*CW bases per round
+    C0 = smax // wb + 1  # offset making wb*C0 - k >= 0 for all diagonals
 
     def extend(slot_m, act_nm, kl, kh):
         """First-mismatch extension of offsets m on each live diagonal
@@ -165,14 +179,14 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             # computed sublane-replicated planes into scf.while risks the
             # Mosaic layout-pass aborts documented above
             kv = lio128 + (128 * c - smax)
-            u = WB * C0 - kv
-            nq = _div_wb(u)
+            u = wb * C0 - kv
+            nq = _div_wb(u, wb)
             qoff = nq - C0
-            shp = 2 * (u - WB * nq)
+            shp = bpb * (u - wb * nq)
             pmask = (1 << shp) - 1
             mcc = jnp.clip(mc, 0, R + 1)
-            qt = _div_wb(mcc)
-            sh2 = 2 * (mcc - WB * qt)
+            qt = _div_wb(mcc, wb)
+            sh2 = bpb * (mcc - wb * qt)
             qp = qt + qoff
             t_lo = jnp.min(jnp.where(act, qt, BIG))
             t_hi = jnp.max(jnp.where(act, qt, -BIG)) + CW - 1
@@ -189,17 +203,17 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             base = jnp.full((P, 128), CW, I32)
             for d in range(CW - 1, -1, -1):
                 pal = ((pws[d] >> shp)
-                       | ((pws[d + 1] & pmask) << (2 * WB - shp))) & MASK28
+                       | ((pws[d + 1] & pmask) << (wbits - shp))) & wmask
                 z = tws[d] ^ pal
                 if d == 0:
                     z = z & ~((1 << sh2) - 1)
                 nz = z != 0
                 zsel = jnp.where(nz, z, zsel)
                 base = jnp.where(nz, d, base)
-            shh = sh2 >> 1
-            cov = WB * CW - shh
+            shh = sh2 >> bsh
+            cov = wb * CW - shh
             jm = jnp.where(base < CW,
-                           WB * base + (ctz28(zsel) >> 1) - shh, cov)
+                           wb * base + (ctz28(zsel) >> bsh) - shh, cov)
             lim_raw = jnp.minimum(plens - (mc - kv), tlens - mc)
             j = jnp.minimum(jm, jnp.clip(lim_raw, 0, cov))
             m2 = jnp.where(act, mc + j, mc)
@@ -219,12 +233,12 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             mc0 = ring_m[slot_m, :, sel].astype(I32)
             kv = lio128 + (128 * c - smax)
             # pattern-alignment constants (lane-fixed): u >= 0 keeps
-            # _div_wb in domain; qoff = floor(-kv/14), shp = 2*((-kv)%14)
-            u = WB * C0 - kv
-            nq = _div_wb(u)
+            # _div_wb in domain; qoff = floor(-kv/wb), shp = bpb*((-kv)%wb)
+            u = wb * C0 - kv
+            nq = _div_wb(u, wb)
             qoff = nq - C0
             mcc0 = jnp.clip(mc0, 0, R + 1)
-            qp0 = _div_wb(mcc0) + qoff
+            qp0 = _div_wb(mcc0, wb) + qoff
             p_lo = jnp.min(jnp.where(do_c, qp0, BIG))
             p_hi = jnp.max(jnp.where(do_c, qp0, -BIG))
             (pwl0,) = gather_chunk(patw_ref, qp0, 1,
@@ -743,7 +757,7 @@ def ring_depths(cfg: AlignConfig):
     return WRM, WRE
 
 
-def long_tile_pairs(cfg: AlignConfig):
+def long_tile_pairs(cfg: AlignConfig, bytes_mode: bool = False):
     """Largest pair tile whose buffers + estimated compiler stack fit the
     16 MB VMEM budget (the stack term is calibrated against measured
     scoped-vmem OOMs: the backtrace keeps ~15 [P, Kp] i32 planes live;
@@ -752,8 +766,9 @@ def long_tile_pairs(cfg: AlignConfig):
     R = cfg.read_size
     if smax > 1023 or R + 2 > 0x3FFF or R + smax + 2 >= 32767:
         return None
+    wb, _ = _wb_of(bytes_mode)
     Kp = _round_up(2 * smax + 1, 128)
-    Wp = _round_up(-(-(R + 2) // WB), 128)
+    Wp = _round_up(-(-(R + 2) // wb), 128)
     WRM, WRE = ring_depths(cfg)
     for P in (64, 48, 32, 16, 8):
         ring = (WRM + 2 * WRE) * P * Kp * 2
@@ -768,8 +783,8 @@ def long_tile_pairs(cfg: AlignConfig):
     return None
 
 
-def long_fit(cfg: AlignConfig) -> bool:
-    return long_tile_pairs(cfg) is not None
+def long_fit(cfg: AlignConfig, bytes_mode: bool = False) -> bool:
+    return long_tile_pairs(cfg, bytes_mode) is not None
 
 
 def wfa_forward_pallas_long(pats, txts, plens, tlens, *, cfg: AlignConfig,
@@ -777,10 +792,12 @@ def wfa_forward_pallas_long(pats, txts, plens, tlens, *, cfg: AlignConfig,
     """Long-read WFA forward (+ on-device backtrace), HBM-spill tier.
 
     Same contract as wfa_forward_pallas2: returns {"step_records":
-    [n, record_rows] i32} for native.wfa_steps_to_ops.  The kernel
-    compares 2-bit codes; raw-byte inputs are packed on the host here
-    (<=4-symbol alphabets only — api falls back to the XLA tier
-    otherwise, see requires_packed below).
+    [n, record_rows] i32} for native.wfa_steps_to_ops.  Packed (2-bit,
+    14-base-word) inputs take the dense extend; raw-byte batches that
+    cannot 2-bit-pack (>4-symbol alphabets) run the SAME kernel with
+    3-byte words — the reference kernels compare raw bytes everywhere
+    (ref: WFA/DPU-MRAM/dpu/wfa.c:193-215), so no alphabet falls off the
+    device past the VMEM tier.
     """
     if not packed:
         import numpy as np
@@ -790,8 +807,9 @@ def wfa_forward_pallas_long(pats, txts, plens, tlens, *, cfg: AlignConfig,
                                np.asarray(plens), np.asarray(tlens),
                                cfg.read_size)
         if not ok:
-            raise ValueError("long-read tier requires a <=4-symbol "
-                             "alphabet (use the XLA tier otherwise)")
+            # Byte-comparing extend variant: raw bytes, 3 per word.
+            return _wfa_long_jit(pats, txts, plens, tlens, cfg=cfg,
+                                 interpret=interpret, bytes_mode=True)
         pats, txts, packed = pp, tt, True
     return _wfa_long_jit(pats, txts, plens, tlens, cfg=cfg,
                          interpret=interpret)
@@ -800,24 +818,37 @@ def wfa_forward_pallas_long(pats, txts, plens, tlens, *, cfg: AlignConfig,
 wfa_forward_pallas_long.requires_packed = True
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def wfa_forward_pallas_long_bytes(pats, txts, plens, tlens, *,
+                                  cfg: AlignConfig,
+                                  interpret: bool = False):
+    """Byte-comparing long-read WFA: raw uint8 sequences in (device
+    arrays fine — nothing touches the host), 3-byte extend words.  The
+    api dispatches here for batches whose alphabet cannot 2-bit-pack."""
+    return _wfa_long_jit(pats, txts, plens, tlens, cfg=cfg,
+                         interpret=interpret, bytes_mode=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "bytes_mode"))
 def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
-                  interpret: bool = False):
+                  interpret: bool = False, bytes_mode: bool = False):
     smax = cfg.max_score
     R = cfg.read_size
     n = pats.shape[0]
+    wb, bpb = _wb_of(bytes_mode)
     Kp = _round_up(2 * smax + 1, 128)
-    Wp = _round_up(-(-(R + 2) // WB), 128)
+    Wp = _round_up(-(-(R + 2) // wb), 128)
     SRp = record_cols(smax)
     S2 = smax + 2
     WRM, WRE = ring_depths(cfg)
-    P = long_tile_pairs(cfg)
+    P = long_tile_pairs(cfg, bytes_mode)
     if P is None:
         raise ValueError("config exceeds the long-read tier's budget")
 
-    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-    pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
-    txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
+    if not bytes_mode:
+        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
+        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
 
     n_orig = n
     if n % P:
@@ -827,19 +858,20 @@ def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
         plens = jnp.pad(plens, (0, padn))
         tlens = jnp.pad(tlens, (0, padn))
         n = n + padn
-    base_len = Wp * WB
+    base_len = Wp * wb
     if pats.shape[1] < base_len:
         pats = jnp.pad(pats, ((0, 0), (0, base_len - pats.shape[1])))
         txts = jnp.pad(txts, ((0, 0), (0, base_len - txts.shape[1])))
     pats = pats[:, :base_len].astype(I32)
     txts = txts[:, :base_len].astype(I32)
 
-    # 14-base words (values <= 4^14 - 1 = 2^28 - 1: relay-safe).
+    # wb-base words (2-bit: 14 bases = 28 bits; bytes: 3 bases = 24 bits;
+    # both < 2**28: relay-safe).
     def words_of(seq):
         w = jnp.zeros((n, Wp), I32)
-        s3 = seq.reshape(n, Wp, WB)
-        for j in range(WB):
-            w = w + (s3[:, :, j] << (2 * j))
+        s3 = seq.reshape(n, Wp, wb)
+        for j in range(wb):
+            w = w + (s3[:, :, j] << (bpb * j))
         return w
 
     patw = words_of(pats)
@@ -853,7 +885,7 @@ def _wfa_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     lens = jnp.pad(lens, ((0, 0), (0, 0), (0, 126)))
 
     kernel = functools.partial(_wfa_long_kernel, cfg, P, Kp, Wp, SRp,
-                               WRM, WRE)
+                               WRM, WRE, bytes_mode)
     recs, _hist = pl.pallas_call(
         kernel,
         grid=(T,),

@@ -163,7 +163,8 @@ def test_genasm_long_tier_five_symbol_alphabet():
 def test_dispatch_packed_ok_reroutes():
     """forward_fn(cfg, packed_ok=False) must skip packing-requiring
     tiers: the GenASM VMEM config falls to the byte-comparing long
-    tier, the WFA long config to None (api then takes the XLA tier)."""
+    tier, the WFA long config to the byte-comparing (3-byte-word)
+    variant of the same kernel (VERDICT r3 item 3)."""
     from aim_tpu.ops import pallas_kernels
     gcfg = AlignConfig(algo="genasm", read_size=60, max_score=10,
                        backtrace=True)
@@ -178,4 +179,75 @@ def test_dispatch_packed_ok_reroutes():
                        variant="hbm")
     fnw = pallas_kernels.forward_fn(wcfg)
     assert fnw is not None and getattr(fnw, "requires_packed", False)
-    assert pallas_kernels.forward_fn(wcfg, packed_ok=False) is None
+    fnb = pallas_kernels.forward_fn(wcfg, packed_ok=False)
+    assert fnb is not None and not getattr(fnb, "requires_packed", False)
+
+
+def test_wfa_long_tier_twenty_symbol_alphabet():
+    """The WFA long kernel's byte-comparing extend (3-byte words): a
+    20-symbol batch beyond the VMEM tier stays on-device and matches the
+    oracle exactly — the reference kernels compare raw bytes everywhere
+    (ref: WFA/DPU-MRAM/dpu/wfa.c:193-215), so this closes the last
+    alphabet-coverage gap (VERDICT r3 item 3)."""
+    from aim_tpu.ops.wfa_pallas_long import (long_fit,
+                                             wfa_forward_pallas_long_bytes)
+    rng = np.random.default_rng(41)
+    cfg = derive_config("wfa", 300, 0.02, backtrace=True, adaptive=True,
+                        variant="hbm")
+    assert long_fit(cfg, bytes_mode=True)
+    bases = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", np.uint8)
+    n, l = 16, 300
+    pats = np.zeros((n, cfg.read_size), np.uint8)
+    pats[:, :l] = bases[rng.integers(0, 20, (n, l))]
+    txts = pats.copy()
+    mut = rng.random((n, l)) < 0.02
+    txts[:, :l] = np.where(mut, bases[rng.integers(0, 20, (n, l))],
+                           txts[:, :l])
+    pl = np.full(n, l, np.int32)
+    tl = np.full(n, l, np.int32)
+    out = wfa_forward_pallas_long_bytes(pats, txts, pl, tl, cfg=cfg,
+                                        interpret=True)
+    recs = np.asarray(out["step_records"])
+    sc, o, b, e = nat.wfa_steps_to_ops(recs, pl, tl,
+                                       max_score=cfg.max_score,
+                                       max_ops=2 * cfg.read_size)
+    want, wo, wb, we = nat.wfa_align(pats, txts, pl, tl,
+                                     mismatch=cfg.mismatch,
+                                     gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+                                     max_score=cfg.max_score,
+                                     adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(sc, want)
+    for i in range(n):
+        if want[i] <= cfg.max_score:
+            assert cigar_of(o[i], b[i], e[i]) == \
+                cigar_of(wo[i], wb[i], we[i]), i
+
+
+def test_api_long_wfa_twenty_symbol_end_to_end():
+    """api.align on a >4-symbol long-read WFA batch: the re-dispatch
+    with packed_ok=False must land on the byte-mode long kernel (or the
+    XLA tier off-TPU) and stay exact end-to-end."""
+    from aim_tpu.api import align
+    rng = np.random.default_rng(43)
+    cfg = derive_config("wfa", 300, 0.02, backtrace=True, adaptive=True,
+                        variant="hbm", batch_pairs=64)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    n, l = 32, 300
+    pats = np.zeros((n, cfg.read_size), np.uint8)
+    pats[:, :l] = bases[rng.integers(0, 5, (n, l))]
+    txts = pats.copy()
+    mut = rng.random((n, l)) < 0.02
+    txts[:, :l] = np.where(mut, bases[rng.integers(0, 5, (n, l))],
+                           txts[:, :l])
+    pl = np.full(n, l, np.int32)
+    tl = np.full(n, l, np.int32)
+    res = align(pats, txts, pl, tl, cfg)
+    want, wo, wb, we = nat.wfa_align(pats, txts, pl, tl,
+                                     mismatch=cfg.mismatch,
+                                     gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+                                     max_score=cfg.max_score,
+                                     adaptive=True, backtrace=True)
+    np.testing.assert_array_equal(res.scores, want)
+    for i in range(n):
+        assert wo[i][wb[i]:we[i]].tobytes() == \
+            res.ops[i][res.begin[i]:res.end[i]].tobytes(), i

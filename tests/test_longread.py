@@ -109,6 +109,33 @@ def test_wfa_tier_selection():
     assert forward_fn(giant) is None
 
 
+def test_wfa_long_smax_envelope_boundary():
+    """The long tier's smax cap is exactly 1023 (step-record bit fields,
+    shared with wfa_pallas2.record_rows): smax=1023 is admitted,
+    smax=1024 falls to the exact XLA tier.  At default costs
+    (x=3, o=4, a=1 => smax = ceil(5*e*l)) the on-device envelope is
+    e*l <= 204.6 — e.g. e=2% to l~10,230; e=1% to the R cap (~16 kbp).
+    Documented in PARITY §5.7 (VERDICT r3 item 10: no config silently
+    changes tier without a documented rule)."""
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.pallas_kernels import forward_fn
+    from aim_tpu.ops.wfa_pallas_long import long_fit
+
+    base = derive_config("wfa", 10000, 0.01, backtrace=True, adaptive=True,
+                         variant="hbm")
+    at_cap = base.replace(max_score=1023)
+    over = base.replace(max_score=1024)
+    assert long_fit(at_cap) and long_fit(at_cap, bytes_mode=True)
+    assert not long_fit(over) and not long_fit(over, bytes_mode=True)
+    assert forward_fn(over) is None       # api takes the exact XLA tier
+
+    # The derive-side view of the same rule: e=2.1% at l=10k exceeds the
+    # cap (ceil(5*210) = 1050 > 1023) and must not be silently admitted.
+    hot = derive_config("wfa", 10000, 0.021, backtrace=True, adaptive=True,
+                        variant="hbm")
+    assert hot.max_score > 1023 and forward_fn(hot) is None
+
+
 def _check_nwswg_long(cfg, pats, txts, pl, tl, min_ok=0.75, planes=1):
     from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,
                                                nwswg_forward_pallas_long)
