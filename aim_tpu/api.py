@@ -802,8 +802,11 @@ def align_file(input_path: str, output_path: str, n_reads: int,
     reference's -DENERGY/probe instrumentation (SURVEY §5.1).
     """
     t0 = time.perf_counter()
+    # threads=0: one parse window per core (parse is the host-pipeline
+    # floor at ~4.7 cores/chip, PERFNOTES §5; single-core hosts take the
+    # sequential path unchanged).
     pats, txts, plens, tlens = native.parse_pairs(input_path, n_reads,
-                                                  cfg.read_size)
+                                                  cfg.read_size, threads=0)
     t_parse = time.perf_counter() - t0
     if profile_dir:
         with jax.profiler.trace(profile_dir):

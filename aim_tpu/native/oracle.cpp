@@ -188,21 +188,12 @@ extern "C" long aim_count_pairs(const char *path, long max_pairs) {
   return n;
 }
 
-extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
-                                      long max_pairs, int read_size,
-                                      uint8_t *patterns, uint8_t *texts,
-                                      int32_t *pattern_lens,
-                                      int32_t *text_lens) {
-  FILE *f = std::fopen(path, "rb");
-  if (!f) return -1000000000L;
-  LineReader r(f);
-  long line_no = 0;
-  for (long i = 0; i < 2 * start_pair; ++i) {
-    bool nl;
-    long len;
-    if (!r.skip(&nl, &len)) { std::fclose(f); return 0; }
-    ++line_no;
-  }
+// Shared parse loop over an already-positioned reader; line_no is the
+// global 0-based line count at the reader's position (fatal READ_SIZE
+// line numbers stay global).  Semantics identical to aim_parse_pairs.
+static long parse_window(LineReader &r, long line_no, long max_pairs,
+                         int read_size, uint8_t *patterns, uint8_t *texts,
+                         int32_t *pattern_lens, int32_t *text_lens) {
   std::string line1;
   long n = 0;
   while (n < max_pairs) {
@@ -220,10 +211,7 @@ extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
     // matches aim_parse_pairs (it reports after consuming the pair).
     long plen = len1 - 2;
     long tlen = len2 - 2;
-    if (plen > read_size || tlen > read_size) {
-      std::fclose(f);
-      return -(line_no);
-    }
+    if (plen > read_size || tlen > read_size) return -(line_no);
     if (plen < 0) plen = 0;
     if (tlen < 0) tlen = 0;
     std::memset(patterns + n * read_size + plen, 0, (size_t)(read_size - plen));
@@ -234,6 +222,82 @@ extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
     text_lens[n] = (int32_t)tlen;
     ++n;
   }
+  return n;
+}
+
+extern "C" long aim_parse_pairs_range(const char *path, long start_pair,
+                                      long max_pairs, int read_size,
+                                      uint8_t *patterns, uint8_t *texts,
+                                      int32_t *pattern_lens,
+                                      int32_t *text_lens) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  LineReader r(f);
+  long line_no = 0;
+  for (long i = 0; i < 2 * start_pair; ++i) {
+    bool nl;
+    long len;
+    if (!r.skip(&nl, &len)) { std::fclose(f); return 0; }
+    ++line_no;
+  }
+  long n = parse_window(r, line_no, max_pairs, read_size, patterns, texts,
+                        pattern_lens, text_lens);
+  std::fclose(f);
+  return n;
+}
+
+// Byte offsets (and global 0-based line numbers) of pairs k*step,
+// k = 0..n_offsets-1, via one streaming newline scan — the boundary
+// pass for intra-process parallel parsing: each worker thread then
+// parses its window directly with aim_parse_pairs_at (no per-thread
+// re-scan of the file head).  Scans at most max_pairs pairs; returns
+// the number of complete pairs seen (the aim_count_pairs rules).
+extern "C" long aim_pair_offsets(const char *path, long step, long max_pairs,
+                                 long n_offsets, int64_t *offsets_out,
+                                 int64_t *lines_out) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  LineReader r(f);
+  long n = 0;
+  int64_t byte_off = 0;
+  long line_no = 0;
+  while (n < max_pairs) {
+    if (step > 0 && n % step == 0 && n / step < n_offsets) {
+      offsets_out[n / step] = byte_off;
+      lines_out[n / step] = line_no;
+    }
+    bool nl;
+    long len;
+    if (!r.skip(&nl, &len)) break;          // EOF, nothing read
+    if (len + (nl ? 1 : 0) <= 0) break;     // getline-style empty
+    byte_off += len + (nl ? 1 : 0);
+    ++line_no;
+    if (!r.skip(&nl, &len)) break;          // pattern without text: drop
+    byte_off += len + (nl ? 1 : 0);
+    ++line_no;
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+// Parse up to max_pairs pairs starting at a pair-aligned byte offset
+// (from aim_pair_offsets); start_line is the global line count there so
+// fatal READ_SIZE line numbers match the sequential parser exactly.
+extern "C" long aim_parse_pairs_at(const char *path, int64_t byte_offset,
+                                   long start_line, long max_pairs,
+                                   int read_size, uint8_t *patterns,
+                                   uint8_t *texts, int32_t *pattern_lens,
+                                   int32_t *text_lens) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1000000000L;
+  if (byte_offset > 0 && std::fseek(f, (long)byte_offset, SEEK_SET) != 0) {
+    std::fclose(f);
+    return 0;
+  }
+  LineReader r(f);
+  long n = parse_window(r, start_line, max_pairs, read_size, patterns,
+                        texts, pattern_lens, text_lens);
   std::fclose(f);
   return n;
 }

@@ -137,3 +137,56 @@ def test_parse_pairs_range_matches_full(tmp_path):
     with pytest.raises(ValueError, match="line 4"):
         nat.parse_pairs_range(str(p3), 1, 10, 16)
     os.unlink(str(p3))
+
+
+def test_parse_pairs_threads_matches_sequential(tmp_path):
+    """Window-parallel parse (VERDICT r3 item 9): byte-identical arrays
+    and identical fatal semantics vs the sequential path, across thread
+    counts and ragged totals (the 4096-pair gate is bypassed by calling
+    the MT helper directly for small files)."""
+    import aim_tpu.native as nat2
+    rng = __import__("random").Random(11)
+    p = tmp_path / "mt.txt"
+    lines = []
+    n = 1000
+    for i in range(n):
+        a = "".join(rng.choice("ACGT") for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 14)))
+        lines += [">" + a, "<" + b]
+    p.write_text("\n".join(lines) + "\n")
+    seq = nat2.parse_pairs(str(p), n, 16)
+    lib = nat2.load()
+    for threads in (2, 3, 7):
+        mt = nat2._parse_pairs_mt(lib, str(p), n, 16, threads)
+        for a, b in zip(seq, mt):
+            np.testing.assert_array_equal(a, b)
+    # over-ask tolerated (EOF), like the sequential parser
+    mt = nat2._parse_pairs_mt(lib, str(p), n + 500, 16, 4)
+    assert len(mt[2]) == n
+    np.testing.assert_array_equal(seq[0], mt[0])
+
+    # fatal READ_SIZE: the reported line is the GLOBAL first offender
+    # even when a later window contains another offender
+    bad = tmp_path / "mt_bad.txt"
+    rows = [">AA", "<CC"] * 300
+    rows[100] = ">" + "A" * 40          # pattern of pair 50 (lines 101/102)
+    rows[500] = "<" + "G" * 40          # a later offender in another window
+    bad.write_text("\n".join(rows) + "\n")
+    import pytest
+    # the parser reports after consuming BOTH lines of the pair: line 102
+    with pytest.raises(ValueError, match="line 102"):
+        nat2._parse_pairs_mt(lib, str(bad), 300, 16, 4)
+    with pytest.raises(ValueError, match="line 102"):
+        nat2.parse_pairs(str(bad), 300, 16)
+
+
+def test_parse_pairs_threads_zero_autoscale(tmp_path):
+    """threads=0 sizes the pool from the host and still round-trips
+    (on a 1-core host it takes the sequential path)."""
+    import aim_tpu.native as nat2
+    p = tmp_path / "auto.txt"
+    p.write_text(">ACGT\n<ACGT\n" * 5000)
+    a = nat2.parse_pairs(str(p), 5000, 8, threads=0)
+    b = nat2.parse_pairs(str(p), 5000, 8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
