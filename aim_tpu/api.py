@@ -564,7 +564,7 @@ def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
         scores[:] = osc
         if cfg.backtrace:
             ops[:], begin[:], end[:] = oops, ob, oe
-        return res
+        return _overflow_bt_pass(pats, txts, plens, tlens, cfg, res)
 
     # Constant per-chunk shape (one jit specialization); padded tail pairs
     # have zero lengths and finish immediately.
@@ -758,6 +758,33 @@ def _align_impl(pats, txts, plens, tlens, cfg: AlignConfig,
                 ops[lo + sel] = oops
                 begin[lo + sel] = ob
                 end[lo + sel] = oe
+    return _overflow_bt_pass(pats, txts, plens, tlens, cfg, res)
+
+
+def _overflow_bt_pass(pats, txts, plens, tlens, cfg: AlignConfig,
+                      res: AlignResult) -> AlignResult:
+    """Opt-in WFA WRAM-variant overflow-backtrace compat
+    (cfg.overflow_backtrace): overflowed pairs (score > MAX_SCORE, which
+    every tier leaves CIGAR-less per the MRAM behavior) get a defined
+    best-effort CIGAR from the host oracle's compat rendition.  Scores
+    are unchanged; launcher-derived configs overflow rarely by design,
+    so this pass is host-cheap."""
+    if not (cfg.algo == ALGO_WFA and cfg.backtrace
+            and cfg.overflow_backtrace):
+        return res
+    sel = np.nonzero(res.scores > cfg.max_score)[0]
+    if not len(sel):
+        return res
+    plens = np.asarray(plens)
+    tlens = np.asarray(tlens)
+    _, oops, ob, oe = native.wfa_align(
+        pats[sel], txts[sel], plens[sel], tlens[sel],
+        mismatch=cfg.mismatch, gap_o=cfg.gap_o, gap_e=cfg.gap_e,
+        max_score=cfg.max_score, adaptive=cfg.adaptive, backtrace=True,
+        threads=0, overflow_backtrace=True)
+    res.ops[sel] = oops
+    res.begin[sel] = ob
+    res.end[sel] = oe
     return res
 
 

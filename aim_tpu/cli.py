@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(wfa, affine=True)
     wfa.add_argument("-r", "--reduced", action="store_true",
                      help="Enable WFA-Adaptive")
+    wfa.add_argument("--overflow-backtrace", action="store_true",
+                     help="WRAM-variant compat: emit a defined best-effort "
+                          "CIGAR for score > MAX_SCORE pairs instead of the "
+                          "MRAM-variant skip (the reference WRAM tier "
+                          "backtraces on overflow via an out-of-bounds "
+                          "read — UB; ref: WFA/DPU-WRAM/dpu/wfa.c:369-376)")
     gen = sub.add_parser(
         "gen", help="generate a synthetic pair file (the WFA repository's "
                     "generate_dataset semantics the reference points at; "
@@ -139,6 +145,8 @@ def config_from_args(args) -> "AlignConfig":
             variant=args.variant, backend=args.backend)
     if args.batch_pairs:
         cfg = cfg.replace(batch_pairs=args.batch_pairs)
+    if getattr(args, "overflow_backtrace", False):
+        cfg = cfg.replace(overflow_backtrace=True)
     # -t override: the reference honors it only when it forces the
     # heuristic DOWN (1 <= t <= chosen NR_TASKLETS, run-wfa-pim-mram.py:
     # 106-112).  The analogue knob here is the per-device pair batch, in

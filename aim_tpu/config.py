@@ -75,6 +75,14 @@ class AlignConfig:
     # Feature flags.
     backtrace: bool = False       # -DBACKTRACE
     adaptive: bool = False        # -DREDUCE (WFA-adaptive)
+    # WFA WRAM-variant overflow-backtrace compat (opt-in): emit a
+    # defined best-effort CIGAR for score > MAX_SCORE pairs instead of
+    # the MRAM-variant skip.  The reference's WRAM tier backtraces on
+    # overflow through an out-of-bounds wavefront read (UB, ref:
+    # WFA/DPU-WRAM/dpu/wfa.c:369-376), so no bit-exact target exists;
+    # the rendition walks from the deepest live computed level
+    # (oracle.cpp aim_wfa_align / golden.wfa_golden).
+    overflow_backtrace: bool = False
     # Memory tier: 'vmem' keeps all per-pair alignment state on-chip
     # (the reference's DPU-WRAM variants); 'hbm' spills wavefront /
     # traceback state to HBM (the DPU-MRAM variants).  Semantics are

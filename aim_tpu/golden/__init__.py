@@ -158,7 +158,7 @@ class _Wf:
 
 
 def wfa_golden(pattern, text, mismatch=3, gap_o=4, gap_e=1, max_score=50,
-               adaptive=False, backtrace=False):
+               adaptive=False, backtrace=False, overflow_backtrace=False):
     p, t = _as_bytes(pattern), _as_bytes(text)
     plen, tlen = len(p), len(t)
     ak = tlen - plen
@@ -211,6 +211,20 @@ def wfa_golden(pattern, text, mismatch=3, gap_o=4, gap_e=1, max_score=50,
             break
         score += 1
         if score > max_score:
+            if backtrace and overflow_backtrace:
+                # WRAM-variant compat rendition (opt-in): the reference's
+                # WRAM tier backtraces on overflow through an
+                # out-of-bounds wavefront read (UB, ref:
+                # WFA/DPU-WRAM/dpu/wfa.c:369-376) — no bit-exact target
+                # exists, so the DEFINED rendition walks from the deepest
+                # live computed level (<= max_score).
+                s0 = max_score
+                while s0 > 0 and (wfs.get(s0) is None or wfs[s0].m_null):
+                    s0 -= 1
+                return {"score": score,
+                        "cigar": _wfa_backtrace_golden(
+                            wfs, p, t, plen, tlen, mismatch, gap_o, gap_e,
+                            s0)}
             return {"score": score, "cigar": "1M"} if backtrace else {"score": score}
         # compute_next
         ws, wo, we = wfs.get(score - mismatch), wfs.get(score - gap_o - gap_e), wfs.get(score - gap_e)
@@ -265,7 +279,11 @@ def _wfa_backtrace_golden(wfs, p, t, plen, tlen, mismatch, gap_o, gap_e,
     ops = ["M"] * (2 * (plen + tlen) + 4)
     max_ops = plen + tlen
     op = max_ops - 1
-    offset = int(wfs[alignment_score].m[k])
+    # Guarded start read (the normal path's start is always in band; the
+    # overflow-compat start may not be — out-of-band reads NULL).
+    w0 = wfs.get(alignment_score)
+    offset = int(w0.m.get(k, WFA_NULL)) \
+        if (w0 is not None and w0.klo <= k <= w0.khi) else int(WFA_NULL)
     v, h = offset - k, offset
     valid = 0 < v <= plen and 0 < h <= tlen
     btype = "M"

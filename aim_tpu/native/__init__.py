@@ -95,7 +95,7 @@ def load():
         lib.aim_wfa_align.argtypes = [
             _i8p, _i8p, _i32p, _i32p, ctypes.c_long,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _i32p, _chp, _i32p, _i32p,
         ]
         lib.aim_wfa_backtrace_batch.restype = None
@@ -326,7 +326,7 @@ def swg_align(pats, txts, plens, tlens, *, match, mismatch, gap_o, gap_e,
 
 
 def wfa_align(pats, txts, plens, tlens, *, mismatch, gap_o, gap_e, max_score,
-              adaptive, backtrace, threads=1):
+              adaptive, backtrace, threads=1, overflow_backtrace=False):
     lib = load()
     pats, txts, plens, tlens = _prep(pats, txts, plens, tlens)
     n, read_size = pats.shape
@@ -340,7 +340,7 @@ def wfa_align(pats, txts, plens, tlens, *, mismatch, gap_o, gap_e, max_score,
         lib.aim_wfa_align(pats[lo:hi], txts[lo:hi], plens[lo:hi],
                           tlens[lo:hi], hi - lo, read_size,
                           mismatch, gap_o, gap_e, max_score, int(adaptive),
-                          int(backtrace),
+                          int(backtrace), int(overflow_backtrace),
                           scores[lo:hi], ops[lo:hi], begin[lo:hi], end[lo:hi])
 
     _run_chunked(n, threads, worker)

@@ -776,7 +776,12 @@ static void wfa_backtrace_dense(const WfaDense &H, const uint8_t *pat,
   int score = alignment_score;
   int k = ak;
   int op = *begin_out;  // caller passes max_operations-1
-  wfa_off_t offset = H.m[(long)score * KS + k + H.smax];
+  // Guarded start read (the normal path's start is always in band; the
+  // overflow-compat start may not be — out-of-band reads NULL).
+  wfa_off_t offset =
+      (f_exists(H.flags[score]) && H.klo[score] <= k && k <= H.khi[score])
+          ? H.m[(long)score * KS + k + H.smax]
+          : WFA_NULL;
   int v = offset - k, h = offset;
   bool valid = (v > 0 && v <= plen && h > 0 && h <= tlen);
   int btype = 0;  // 0=M 1=I 2=D
@@ -880,13 +885,16 @@ static void wfa_backtrace_dense(const WfaDense &H, const uint8_t *pat,
 
 // Full WFA oracle: parse -> forward (dense) -> backtrace, one pair at a time.
 // overflow_backtrace: 0 = skip backtrace on score > MAX_SCORE (the HBM/MRAM
-// tier, ref: WFA/DPU-MRAM/dpu/wfa.c:399-404).  The reference's WRAM tier
-// instead reads past its wavefront array on overflow (undefined behavior,
-// ref: WFA/DPU-WRAM/dpu/wfa.c:369-376), which we do not reproduce.
+// tier, ref: WFA/DPU-MRAM/dpu/wfa.c:399-404).  1 = the WRAM-variant compat
+// rendition: the reference's WRAM tier backtraces on overflow through an
+// out-of-bounds wavefront read (undefined behavior, ref:
+// WFA/DPU-WRAM/dpu/wfa.c:369-376), so no bit-exact target exists — the
+// DEFINED rendition here walks from the deepest live computed level.
 extern "C" void aim_wfa_align(const uint8_t *patterns, const uint8_t *texts,
                    const int32_t *plens, const int32_t *tlens, long n,
                    int read_size, int mismatch, int gap_o, int gap_e,
-                   int max_score, int reduce, int backtrace, int32_t *scores,
+                   int max_score, int reduce, int backtrace,
+                   int overflow_backtrace, int32_t *scores,
                    char *ops, int32_t *begin_off, int32_t *end_off) {
   const int max_ops = 2 * read_size;
   const int K = 2 * max_score + 1;
@@ -910,6 +918,12 @@ extern "C" void aim_wfa_align(const uint8_t *patterns, const uint8_t *texts,
     if (backtrace && sc <= max_score) {
       wfa_backtrace_dense(H, pat, txt, plen, tlen, mismatch, gap_o, gap_e, sc,
                           o, &begin, max_operations);
+    } else if (backtrace && overflow_backtrace) {
+      int s0 = max_score;
+      while (s0 > 0 && (!f_exists(H.flags[s0]) || f_mnull(H.flags[s0])))
+        --s0;
+      wfa_backtrace_dense(H, pat, txt, plen, tlen, mismatch, gap_o, gap_e,
+                          s0, o, &begin, max_operations);
     }
     begin_off[i] = begin;
     end_off[i] = max_operations;

@@ -52,10 +52,12 @@ CONFIGS = [
     ("wfa", 200, dict(max_score=35, mismatch=4, gap_o=2, gap_e=2,
                       adaptive=True),
      dict(mismatch=4, gap_o=2, gap_e=2, max_score=35, adaptive=True)),
-    # VMEM-tier admission boundary itself: R=254 -> Rp=256, W16=16 (the
+    # VMEM-tier admission boundary itself: R=248 -> Rp=256, W16=16 (the
     # 4-bit next-word fields at their encoding maximum + the fidx=16
-    # terminator-guarded probe — live only at this exact geometry)
-    ("wfa", 254, dict(max_score=30, mismatch=3, gap_o=4, gap_e=1,
+    # terminator-guarded probe — live only at this geometry; R must be a
+    # multiple of 8 per the config contract, and 248 is the largest one
+    # that still rounds to Rp=256)
+    ("wfa", 248, dict(max_score=30, mismatch=3, gap_o=4, gap_e=1,
                       adaptive=True),
      dict(mismatch=3, gap_o=4, gap_e=1, max_score=30, adaptive=True)),
     # beyond the VMEM tier: exercises the HBM-spill long-read kernel
