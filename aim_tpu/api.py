@@ -46,6 +46,10 @@ class AlignResult:
     t_retrieve: float = 0.0
     n_fallback: int = 0
     n_retry: int = 0     # pairs served by an on-device retry tier
+    # Measured host-side energy over the whole align() span (J), from
+    # RAPL powercap counters when the host exposes them; None otherwise
+    # (containers and relay-attached hosts typically expose none).
+    energy_measured_j: float | None = None
 
 
 _EAGER_DONE = False
@@ -788,6 +792,24 @@ def _overflow_bt_pass(pats, txts, plens, tlens, cfg: AlignConfig,
     return res
 
 
+def _read_energy_uj():
+    """Best-effort host energy counters (RAPL powercap, package+DRAM
+    domains summed).  Returns None when the host exposes none — true in
+    containers and behind the TPU relay, where the estimate below is the
+    only option.  The closest reachable analogue of the reference's
+    UPMEM dpu_probe DIMM-rank counters (ref: host.c:62-67,285-296)."""
+    import glob
+    total, found = 0, False
+    try:
+        for p in glob.glob("/sys/class/powercap/*/energy_uj"):
+            with open(p) as f:
+                total += int(f.read().strip())
+            found = True
+    except Exception:
+        return None
+    return total if found else None
+
+
 def energy_estimate_joules(res: AlignResult) -> float:
     """Energy-probe substitute (ref: host.c:62-67,285-296 -DENERGY uses
     UPMEM dpu_probe counters).  This runtime exposes no power counters,
@@ -835,11 +857,16 @@ def align_file(input_path: str, output_path: str, n_reads: int,
     pats, txts, plens, tlens = native.parse_pairs(input_path, n_reads,
                                                   cfg.read_size, threads=0)
     t_parse = time.perf_counter() - t0
+    e0 = _read_energy_uj() if energy else None
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             res = align(pats, txts, plens, tlens, cfg, device_sharding)
     else:
         res = align(pats, txts, plens, tlens, cfg, device_sharding)
+    if e0 is not None:
+        e1 = _read_energy_uj()
+        if e1 is not None and e1 >= e0:  # ignore counter wraparound
+            res.energy_measured_j = (e1 - e0) / 1e6
     n = len(res.scores)
     idx = np.arange(n, dtype=np.int32)
     native.emit_output(output_path, idx, res.scores, res.ops, res.begin,
@@ -859,6 +886,9 @@ def align_file(input_path: str, output_path: str, n_reads: int,
             # ref: host.c:285-296 prints "DPU Kernel Energy (J): ..."
             print(f"TPU Kernel Energy (J, estimated): "
                   f"{energy_estimate_joules(res):f}")
+            if res.energy_measured_j is not None:
+                print(f"Host Energy (J, measured, RAPL package+DRAM over "
+                      f"the align span): {res.energy_measured_j:f}")
         if res.n_retry:
             print(f"wide-band device retry pairs: {res.n_retry}")
         if res.n_fallback:

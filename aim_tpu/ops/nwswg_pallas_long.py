@@ -163,11 +163,29 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
     def car(r, k):
         return car_ref[r * npl + k]
 
+    # Plane-seam lane broadcasts, Mosaic-safe: extracting a single lane
+    # (x[:, j:j+1]) and broadcasting it inside an scf loop SIGABRTs
+    # Mosaic's layout pass at npl >= 2 geometries
+    # (vector_extract_strided_slice: "limits[i] <= dim(i)"); these paths
+    # are dead code at npl=1 (DCE'd before Mosaic), which is why the
+    # primary band never hit it.  A masked log-step rotation all-reduce
+    # produces the same all-lanes value without any strided extract.
+    def _allred(x, op):
+        s_ = 1
+        while s_ <= 64:
+            x = op(x, pltpu.roll(x, s_, 1))
+            s_ *= 2
+        return x
+
+    def _lane_bcast(x, j):
+        """All lanes <- x[:, j] (values bounded well inside +-2^24)."""
+        return _allred(jnp.where(lane == j, x, 1 << 24), jnp.minimum)
+
     def sr1p(ws, fill):          # read band position b+1 (plane-seam aware)
         out = []
         for k in range(npl):
             r = pltpu.roll(ws[k], 127, 1)
-            nxt = (jnp.broadcast_to(ws[k + 1][:, 0:1], (P, 128))
+            nxt = (_lane_bcast(ws[k + 1], 0)
                    if k + 1 < npl else jnp.full((P, 128), fill, I32))
             out.append(jnp.where(lane <= 126, r, nxt))
         return out
@@ -176,7 +194,7 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
         out = []
         for k in range(npl):
             r = pltpu.roll(ws[k], 1, 1)
-            prv = (jnp.broadcast_to(ws[k - 1][:, 127:128], (P, 128))
+            prv = (_lane_bcast(ws[k - 1], 127)
                    if k > 0 else jnp.full((P, 128), fill, I32))
             out.append(jnp.where(lane >= 1, r, prv))
         return out
@@ -184,7 +202,8 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
     def minplus_scan(zs):
         """Global prefix-min over band positions (inputs ramp-subtracted):
         full-depth masked scan per plane, then the seam carry (plane k's
-        total min, lane 127) folds into plane k+1."""
+        total min == all-lane min of its prefix-min plane) folds into
+        plane k+1."""
         outs = []
         carry = None
         for k in range(npl):
@@ -196,7 +215,8 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
                 s_ *= 2
             if carry is not None:
                 x = jnp.minimum(x, carry)
-            carry = jnp.broadcast_to(x[:, 127:128], (P, 128))
+            if k + 1 < npl:
+                carry = _allred(x, jnp.minimum)
             outs.append(x)
         return outs
 
@@ -531,7 +551,11 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
 
     def maxscan_planes(ps):
         """Global prefix-max over band positions; seam carry (plane k's
-        lane-127 running max) folds into plane k+1."""
+        running max == all-lane max of its prefix-max plane) folds into
+        plane k+1.  The carry is a rotation all-reduce, NOT a lane-127
+        extract+broadcast: strided lane extracts inside the walk's scf
+        loop SIGABRT Mosaic's layout pass at npl >= 2 (dead code at
+        npl=1, hence invisible on the primary band)."""
         outs = []
         carry = None
         for k in range(npl):
@@ -543,7 +567,13 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
                 s_ *= 2
             if carry is not None:
                 x = jnp.maximum(x, carry)
-            carry = jnp.broadcast_to(x[:, 127:128], (P, 128))
+            if k + 1 < npl:
+                s_ = 1
+                y = x
+                while s_ <= 64:
+                    y = jnp.maximum(y, pltpu.roll(y, s_, 1))
+                    s_ *= 2
+                carry = y
             outs.append(x)
         return outs
 
