@@ -491,11 +491,18 @@ def align(pats, txts, plens, tlens, cfg: AlignConfig,
 
     AIM_TPU_SORT=1 runs the device work in estimated-difficulty order
     (output order is restored — the pair idx contract is unchanged).
+    Default: ON for long-read configs (read_size >= 1024, where each
+    64-pair tile's while-loop rides to the tile max and grouping
+    similar scores measurably helps — +4.4% e2e / ~7% kernel at
+    l=10 kbp, round-4 sweep), OFF for short reads (measured noise).
+    AIM_TPU_SORT=0 force-disables, =1 force-enables.
     Under sharding the sorted order is dealt round-robin across the
     device blocks of each chunk (see _deal_order): every shard keeps a
     balanced difficulty mix, every block stays internally sorted."""
-    sort = (os.environ.get("AIM_TPU_SORT", "0") == "1"
-            and len(np.asarray(plens)) > 128)
+    sort_env = os.environ.get("AIM_TPU_SORT", "")
+    sort_on = sort_env == "1" if sort_env in ("0", "1") \
+        else cfg.read_size >= 1024
+    sort = sort_on and len(np.asarray(plens)) > 128
     if sort:
         t0 = time.perf_counter()
         order = _difficulty_order(pats, txts, plens, tlens)

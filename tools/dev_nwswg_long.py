@@ -124,6 +124,12 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01):
     scores land in (260, 400] — certified npl=4 work, not max_score
     overflow records."""
     import jax
+    from aim_tpu.api import _ensure_eager_dispatch
+    # Sync-mode flip BEFORE any timed region: in a fresh process (no D2H
+    # yet) this relay's deferred mode makes block_until_ready return
+    # before completion — measured best=0.0ms anchors that corrupt the
+    # marginal slope (round-4 sweep, PERFNOTES.md §1).
+    _ensure_eager_dispatch()
     # synth() is substitutions-only (lengths == l exactly), so the slack
     # is pure headroom — clamp to the admission cap for the 16 kbp row
     R = min(-(-(l + max(64, l // 8)) // 32) * 32, 16352)

@@ -73,6 +73,11 @@ def bench_v2(cfg, pats, txts, pl_, tl_):
 
 
 def main():
+    # Sync-mode flip BEFORE any timed region: fresh-process deferred
+    # mode makes block_until_ready return before completion for the
+    # long kernels (measured 0.0 ms anchors — PERFNOTES.md §1).
+    from aim_tpu.api import _ensure_eager_dispatch
+    _ensure_eager_dispatch()
     l = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     cfg = derive_config("wfa", l, 0.01, backtrace=True, adaptive=True,
