@@ -122,3 +122,49 @@ def test_difficulty_order_subsampling():
     tl = np.full(n, R, np.int32)
     order = api._difficulty_order(pats, txts, pl, tl)
     assert order[-1] == 0  # hardest pair sorts last
+
+
+def test_sort_default_by_read_size(monkeypatch):
+    """The default (no AIM_TPU_SORT in the env) is read_size-gated:
+    ON for long-read configs (>= 1024, measured +4.4% e2e at 10 kbp,
+    round-4 sweep), OFF for short reads (measured noise); "0"/"1"
+    force-override either way."""
+    calls = []
+    real = api._difficulty_order
+
+    def spy(*a):
+        calls.append(1)
+        return real(*a)
+
+    monkeypatch.setattr(api, "_difficulty_order", spy)
+    monkeypatch.delenv("AIM_TPU_SORT", raising=False)
+
+    short = derive_config("nw", 40, 0.05, backtrace=False, batch_pairs=256)
+    pairs = _mixed_difficulty_pairs(seed=43, n=200, max_len=40)
+    arrays = pack(pairs, short.read_size)
+    api.align(*arrays, short)
+    assert not calls  # short reads: sort off by default
+
+    monkeypatch.setenv("AIM_TPU_SORT", "1")
+    api.align(*arrays, short)
+    assert calls  # explicit "1" overrides the short-read default
+
+    # long-read config: on by default (cheap XLA-tier run, tiny lens)
+    calls.clear()
+    monkeypatch.delenv("AIM_TPU_SORT", raising=False)
+    long_cfg = derive_config("wfa", 1024, 0.001, backtrace=False,
+                             adaptive=True, batch_pairs=256)
+    n, R = 136, long_cfg.read_size
+    rng = np.random.default_rng(3)
+    lp = np.zeros((n, R), np.uint8)
+    lp[:, :32] = rng.integers(65, 69, (n, 32), dtype=np.uint8)
+    lt = lp.copy()
+    pl = np.full(n, 32, np.int32)
+    tl = np.full(n, 32, np.int32)
+    api.align(lp, lt, pl, tl, long_cfg)
+    assert calls  # long reads: sort on by default
+
+    monkeypatch.setenv("AIM_TPU_SORT", "0")
+    calls.clear()
+    api.align(lp, lt, pl, tl, long_cfg)
+    assert not calls  # explicit "0" overrides the long-read default
