@@ -57,7 +57,14 @@ BIG = 2 ** 20
 
 OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
-_CW = 4          # extend scan-window words per round (TPU-tuned)
+# Extend scan-window words per round.  TPU-tuned (tools/dev_cw_sweep.py,
+# round 4): the chunk while-loop rides the MAX match run over P*128
+# lanes (~10 rounds/step at l=10 kbp, tools/dev_long_diag.py), so the
+# per-round fixed cost (4 scalar reductions + loop overhead) dominates;
+# 8 words = 112 bases/round halves the rounds and measured 62 vs
+# 107 us/pair against 4 words at l=10 kbp (records bit-identical at
+# 4/6/8/12 — CW is purely a performance knob).
+_CW = 8
 WB = 14         # bases per packed word, 2-bit mode (28 bits: relay-safe)
 WB_BYTES = 3    # bases per word, byte mode (24 bits — arbitrary alphabets;
 #                 the reference kernels compare raw bytes everywhere,
@@ -776,7 +783,9 @@ def long_tile_pairs(cfg: AlignConfig, bytes_mode: bool = False):
         seqs = 2 * P * Wp * 4
         side = (smax + 2) * P * 8 * 2
         recs = 2 * P * record_cols(smax) * 4
-        stack = 15 * P * Kp * 4 + 40 * P * 128 * 4
+        # the chunked forward's [P, 128] term scales with the extend
+        # window (2*_CW+1 gather planes live at once, plus ~40 others)
+        stack = 15 * P * Kp * 4 + (40 + 2 * _CW + 1) * P * 128 * 4
         if ring + btb + seqs + side + recs + stack + 2 * 1024 * 1024 \
                 < 16 * 1024 * 1024:
             return P
