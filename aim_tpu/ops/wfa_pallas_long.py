@@ -60,10 +60,14 @@ _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
 # Extend scan-window words per round.  TPU-tuned (tools/dev_cw_sweep.py,
 # round 4): the chunk while-loop rides the MAX match run over P*128
 # lanes (~10 rounds/step at l=10 kbp, tools/dev_long_diag.py), so the
-# per-round fixed cost (4 scalar reductions + loop overhead) dominates;
-# 8 words = 112 bases/round halves the rounds and measured 62 vs
-# 107 us/pair against 4 words at l=10 kbp (records bit-identical at
-# 4/6/8/12 — CW is purely a performance knob).
+# per-round fixed cost (4 scalar reductions + loop overhead) matters;
+# 8 words = 112 bases/round halves the rounds: ~90 vs ~110 us/pair
+# steady-state against 4 words at l=10 kbp (62 best-observed; CW=10
+# measured equal to 8 in an interleaved A/B; records bit-identical at
+# CW in 4..12 — CW is purely a performance knob).  Keeping the
+# per-round window reductions is deliberate: a scalar-ratchet variant
+# without them measured WORSE, because shrinking windows as lanes
+# finish saves more gather blocks than the reductions cost.
 _CW = 8
 WB = 14         # bases per packed word, 2-bit mode (28 bits: relay-safe)
 WB_BYTES = 3    # bases per word, byte mode (24 bits — arbitrary alphabets;
