@@ -689,3 +689,32 @@ def test_streamed_score_only_interpret():
         so9 = (so[:, 0].astype(np.int32) >> 9) & 1
         bt8 = (bt[:, 0].astype(np.int32) >> 8) & 1
         assert (so9 <= bt8).all(), algo
+
+
+def test_wfa_long_scan_window_is_pure_perf_knob(monkeypatch):
+    """The extend scan window (_CW, TPU-tuned to 8 in round 4) must
+    never change results — step records are bit-identical across
+    window sizes (the on-chip guarantee tools/dev_cw_sweep.py checks;
+    this locks it in CI at a small geometry, both word layouts)."""
+    import jax
+
+    from aim_tpu.ops import wfa_pallas_long as WL
+
+    pairs = _pairs()
+    pats, txts, pl, tl = pack(pairs, R)
+    cfg = AlignConfig(algo="wfa", read_size=R, max_score=40,
+                      backtrace=True, adaptive=True, variant="hbm")
+    recs = {}
+    for cw in (2, 4, 8):
+        monkeypatch.setattr(WL, "_CW", cw)
+        fn = jax.jit(WL._wfa_long_jit.__wrapped__,
+                     static_argnames=("cfg", "interpret", "bytes_mode"))
+        out = fn(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+                 cfg=cfg, interpret=True)
+        recs[cw] = np.asarray(out["step_records"])
+        outb = fn(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+                  cfg=cfg, interpret=True, bytes_mode=True)
+        assert np.array_equal(np.asarray(outb["step_records"]), recs[cw]), \
+            f"bytes-mode records diverge at CW={cw}"
+    assert np.array_equal(recs[2], recs[8])
+    assert np.array_equal(recs[4], recs[8])
