@@ -695,26 +695,38 @@ def test_wfa_long_scan_window_is_pure_perf_knob(monkeypatch):
     """The extend scan window (_CW, TPU-tuned to 8 in round 4) must
     never change results — step records are bit-identical across
     window sizes (the on-chip guarantee tools/dev_cw_sweep.py checks;
-    this locks it in CI at a small geometry, both word layouts)."""
+    this locks it in CI at a small geometry, both word layouts).
+
+    The packed-mode arm (bytes_mode=False) requires pack_seqs 2-bit
+    input — _wfa_long_jit unpacks with `(pats >> shifts) & 3`
+    (wfa_pallas_long.py); feeding it raw ASCII runs it on garbage."""
     import jax
 
     from aim_tpu.ops import wfa_pallas_long as WL
+    from aim_tpu.ops.common import pack_seqs
 
     pairs = _pairs()
     pats, txts, pl, tl = pack(pairs, R)
+    ppats, ptxts, packed = pack_seqs(pats, txts, pl, tl, R)
+    assert packed, "DNA test pairs must 2-bit pack"
     cfg = AlignConfig(algo="wfa", read_size=R, max_score=40,
                       backtrace=True, adaptive=True, variant="hbm")
-    recs = {}
+    recs, brecs = {}, {}
     for cw in (2, 4, 8):
         monkeypatch.setattr(WL, "_CW", cw)
         fn = jax.jit(WL._wfa_long_jit.__wrapped__,
                      static_argnames=("cfg", "interpret", "bytes_mode"))
-        out = fn(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
+        out = fn(ppats, ptxts, pl.astype(np.int32), tl.astype(np.int32),
                  cfg=cfg, interpret=True)
         recs[cw] = np.asarray(out["step_records"])
         outb = fn(pats, txts, pl.astype(np.int32), tl.astype(np.int32),
                   cfg=cfg, interpret=True, bytes_mode=True)
-        assert np.array_equal(np.asarray(outb["step_records"]), recs[cw]), \
-            f"bytes-mode records diverge at CW={cw}"
+        brecs[cw] = np.asarray(outb["step_records"])
+    # CW is a pure perf knob within each word layout
     assert np.array_equal(recs[2], recs[8])
     assert np.array_equal(recs[4], recs[8])
+    assert np.array_equal(brecs[2], brecs[8])
+    assert np.array_equal(brecs[4], brecs[8])
+    # and the two layouts agree with each other on the step records
+    assert np.array_equal(recs[8], brecs[8]), \
+        "packed-mode records diverge from bytes-mode"
