@@ -458,12 +458,12 @@ static void swg_pair(const uint8_t *pat, const uint8_t *txt, int plen, int tlen,
     for (int v = 1; v <= plen; ++v) {
       long t = idx2(h, v, nc), tu = t - 1, tl = t - nc, td = t - nc - 1;
       C del_new = (C)(m_tape[tu] + gap_o + gap_e);
-      C del_ext = (C)(d_tape[tu] + gap_e);
-      C del = std::min(del_new, del_ext);
+      C d_from_extend = (C)(d_tape[tu] + gap_e);
+      C del = std::min(del_new, d_from_extend);
       d_tape[t] = del;
       C ins_new = (C)(m_tape[tl] + gap_o + gap_e);
-      C ins_ext = (C)(i_tape[tl] + gap_e);
-      C ins = std::min(ins_new, ins_ext);
+      C i_from_extend = (C)(i_tape[tl] + gap_e);
+      C ins = std::min(ins_new, i_from_extend);
       i_tape[t] = ins;
       C m_diag = (C)(m_tape[td] + (pat[v - 1] == tc ? match : mismatch));
       C best = std::min(m_diag, std::min(ins, del));
@@ -827,44 +827,44 @@ static void wfa_backtrace_dense(const WfaDense &H, const uint8_t *pat,
       return s >= 0 && f_exists(H.flags[s]) && !f_inull(H.flags[s]) &&
              H.klo[s] <= kk && kk <= H.khi[s];
     };
-    wfa_off_t del_ext = (btype == 1) ? WFA_NULL : d_read(s_e, k + 1);
-    wfa_off_t del_open = (btype == 1) ? WFA_NULL : m_read(s_o, k + 1);
-    wfa_off_t ins_ext =
+    wfa_off_t d_from_extend = (btype == 1) ? WFA_NULL : d_read(s_e, k + 1);
+    wfa_off_t d_from_open = (btype == 1) ? WFA_NULL : m_read(s_o, k + 1);
+    wfa_off_t i_from_extend =
         (btype == 2 || !in_i(s_e, k - 1))
             ? WFA_NULL
             : (wfa_off_t)(H.i[(long)s_e * KS + (k - 1) + H.smax] + 1);
-    wfa_off_t ins_open =
+    wfa_off_t i_from_open =
         (btype == 2 || !in_m(s_o, k - 1))
             ? WFA_NULL
             : (wfa_off_t)(H.m[(long)s_o * KS + (k - 1) + H.smax] + 1);
-    wfa_off_t misms =
+    wfa_off_t sub_from_m =
         (btype != 0 || !in_m(s_x, k))
             ? WFA_NULL
             : (wfa_off_t)(H.m[(long)s_x * KS + k + H.smax] + 1);
     (void)i_read;
-    wfa_off_t max_del = std::max(del_ext, del_open);
-    wfa_off_t max_ins = std::max(ins_ext, ins_open);
-    wfa_off_t max_all = std::max(misms, std::max(max_ins, max_del));
+    wfa_off_t best_d_src = std::max(d_from_extend, d_from_open);
+    wfa_off_t best_i_src = std::max(i_from_extend, i_from_open);
+    wfa_off_t best_src = std::max(sub_from_m, std::max(best_i_src, best_d_src));
     if (btype == 0) {
-      int num_matches = offset - max_all;
+      int num_matches = offset - best_src;
       for (int i2 = 0; i2 < num_matches; ++i2) ops[op--] = 'M';
-      offset = max_all;
+      offset = best_src;
       v = offset - k; h = offset;
       if (v <= 0 || h <= 0) break;
     }
-    if (max_all == del_ext) {
+    if (best_src == d_from_extend) {
       if (valid) ops[op--] = 'D';
       score = s_e; ++k; btype = 2;
-    } else if (max_all == del_open) {
+    } else if (best_src == d_from_open) {
       if (valid) ops[op--] = 'D';
       score = s_o; ++k; btype = 0;
-    } else if (max_all == ins_ext) {
+    } else if (best_src == i_from_extend) {
       if (valid) ops[op--] = 'I';
       score = s_e; --k; --offset; btype = 1;
-    } else if (max_all == ins_open) {
+    } else if (best_src == i_from_open) {
       if (valid) ops[op--] = 'I';
       score = s_o; --k; --offset; btype = 0;
-    } else if (max_all == misms) {
+    } else if (best_src == sub_from_m) {
       if (valid) ops[op--] = 'X';
       score = s_x; --offset;
     } else {

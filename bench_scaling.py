@@ -17,10 +17,14 @@ Usage: python bench_scaling.py [n_pairs]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tools import _timing as T  # noqa: E402
 
 
 def main():
@@ -53,11 +57,11 @@ def main():
     for nd in counts:
         sharding = pair_sharding(make_mesh(nd)) if nd > 1 else None
         align(pats, txts, plens, tlens, cfg, device_sharding=sharding)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            align(pats, txts, plens, tlens, cfg, device_sharding=sharding)
-            best = min(best, time.perf_counter() - t0)
+        best = T.best_of(
+            lambda: align(pats, txts, plens, tlens, cfg,
+                          device_sharding=sharding),
+            repeats=3, block=False, warmup=False,
+            min_anchor_s=0 if virtual else 1e-3)
         rate = n / best
         base = base or rate
         row = {"devices": nd, "pairs_per_s": round(rate, 1)}

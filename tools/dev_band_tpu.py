@@ -21,6 +21,7 @@ from aim_tpu.ops.nw_pallas import nw_forward_pallas  # noqa: E402
 from aim_tpu.ops.swg_pallas import swg_forward_pallas  # noqa: E402
 from tests.util import cigar_of  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def bench_algo(algo, fwd, n1, n2, oracle):
@@ -32,14 +33,10 @@ def bench_algo(algo, fwd, n1, n2, oracle):
     jax.block_until_ready((dp, dt, dpl, dtl))
 
     def run(n):
-        out = fwd(dp[:n], dt[:n], dpl[:n], dtl[:n], cfg=cfg)
+        thunk = lambda: fwd(dp[:n], dt[:n], dpl[:n], dtl[:n], cfg=cfg)
+        best = T.best_of(thunk, repeats=4)
+        out = thunk()
         jax.block_until_ready(out)
-        best = 1e9
-        for _ in range(4):
-            t0 = time.perf_counter()
-            out = fwd(dp[:n], dt[:n], dpl[:n], dtl[:n], cfg=cfg)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
         return best, out
 
     t1, _ = run(n1)

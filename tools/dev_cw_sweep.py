@@ -27,6 +27,7 @@ from aim_tpu.ops.common import pack_seqs  # noqa: E402
 from aim_tpu.ops import wfa_pallas_long as WL  # noqa: E402
 from tests.util import cigar_of  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def measure(cfg, dp, dt, dpl, dtl, n):
@@ -34,14 +35,10 @@ def measure(cfg, dp, dt, dpl, dtl, n):
                  static_argnames=("cfg", "interpret"))
 
     def best_of(m):
-        out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg)
+        thunk = lambda: fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg)
+        best = T.best_of(thunk, repeats=3)
+        out = thunk()
         jax.block_until_ready(out)
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
         return best, out
 
     t1, _ = best_of(64)

@@ -22,6 +22,7 @@ from aim_tpu.config import derive_config  # noqa: E402
 from aim_tpu.ops.common import pack_seqs  # noqa: E402
 from aim_tpu.ops import wfa_pallas_long as WL  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def run(cfg, dp, dt, dpl, dtl, n):
@@ -31,17 +32,10 @@ def run(cfg, dp, dt, dpl, dtl, n):
                  static_argnames=("cfg", "interpret"))
 
     def best_of(m):
-        out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg,
-                 interpret=False)
-        jax.block_until_ready(out)
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg,
-                     interpret=False)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return T.best_of(
+            lambda: fn(dp[:m], dt[:m], dpl[:m], dtl[:m], cfg=cfg,
+                       interpret=False),
+            repeats=3)
 
     t1 = best_of(64)
     t2 = best_of(n)

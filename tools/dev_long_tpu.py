@@ -18,6 +18,7 @@ from aim_tpu.ops.wfa_pallas2 import vmem_fit2  # noqa: E402
 from aim_tpu.ops.wfa_pallas_long import long_fit, wfa_forward_pallas_long  # noqa: E402
 from tests.util import cigar_of  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def run_case(l, e, n, seed):
@@ -38,12 +39,10 @@ def run_case(l, e, n, seed):
     out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg, packed=True)
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg, packed=True)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    best = T.best_of(
+        lambda: wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg,
+                                        packed=True),
+        repeats=3, warmup=False)
     recs = np.asarray(out["step_records"])
     sc, ops, b, en = nat.wfa_steps_to_ops(recs, pl_, tl_,
                                           max_score=cfg.max_score,

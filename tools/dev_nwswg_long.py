@@ -19,6 +19,7 @@ from aim_tpu.ops.nwswg_pallas_long import (long_fit_nwswg,  # noqa: E402
                                            nwswg_forward_pallas_long)
 from tests.util import cigar_of, make_pair, pack, random_pairs  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def oracle(cfg, pats, txts, pl_, tl_):
@@ -154,13 +155,10 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01):
                                             planes=planes)
             jax.block_until_ready(out)
             tc = time.perf_counter() - t0
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                out = nwswg_forward_pallas_long(dp, dt_, dpl, dtl,
-                                                cfg=cfg, planes=planes)
-                jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
+            best = T.best_of(
+                lambda: nwswg_forward_pallas_long(dp, dt_, dpl, dtl,
+                                                  cfg=cfg, planes=planes),
+                repeats=3, warmup=False)
             packed = np.asarray(out["packed_runs"])
             sc = packed[:, 1].astype(np.int32)
             fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)

@@ -17,15 +17,11 @@ import aim_tpu.native as nat  # noqa: E402
 from aim_tpu.config import AlignConfig  # noqa: E402
 from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def time_best(fn, reps=5):
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return T.best_of(fn, repeats=reps, warmup=False)
 
 
 def main(l=4000):

@@ -20,6 +20,7 @@ from aim_tpu.api import _ensure_eager_dispatch  # noqa: E402
 from aim_tpu.config import derive_config  # noqa: E402
 from aim_tpu.ops.common import pack_seqs  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def slope(fn, cfg, pats, txts, pl_, tl_, reps, packed):
@@ -31,16 +32,11 @@ def slope(fn, cfg, pats, txts, pl_, tl_, reps, packed):
         dpl = jax.device_put(np.tile(pl_, r))
         dtl = jax.device_put(np.tile(tl_, r))
         jax.block_until_ready((dp, dt, dpl, dtl))
-        o = fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
-        jax.block_until_ready(o)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
-            jax.block_until_ready(o)
-            best = min(best, time.perf_counter() - t0)
+        best = T.best_of(
+            lambda: fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed),
+            repeats=3)
         ts.append(best)
-        del dp, dt, dpl, dtl, o
+        del dp, dt, dpl, dtl
     return (ts[1] - ts[0]) / (n * (reps[1] - reps[0])) * 1e6
 
 

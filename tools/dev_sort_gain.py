@@ -26,6 +26,7 @@ from aim_tpu.config import derive_config  # noqa: E402
 from aim_tpu.ops.common import pack_seqs  # noqa: E402
 from aim_tpu.ops.wfa_pallas_long import wfa_forward_pallas_long  # noqa: E402
 from tools.dev_long_check import synth  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 
 def bench_once(cfg, pats, txts, pl_, tl_):
@@ -36,13 +37,10 @@ def bench_once(cfg, pats, txts, pl_, tl_):
     jax.block_until_ready((dp, dt, dpl, dtl))
     out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg, packed=True)
     jax.block_until_ready(out)  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg,
-                                      packed=True)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    best = T.best_of(
+        lambda: wfa_forward_pallas_long(dp, dt, dpl, dtl, cfg=cfg,
+                                        packed=True),
+        repeats=3, warmup=False)
     recs = np.asarray(out["step_records"])
     sc, *_ = nat.wfa_steps_to_ops(recs, pl_, tl_, max_score=cfg.max_score,
                                   max_ops=2 * cfg.read_size)
@@ -62,12 +60,9 @@ def bench_v2(cfg, pats, txts, pl_, tl_):
     jax.block_until_ready((dp, dt, dpl, dtl))
     out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=True)
     jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=True)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    best = T.best_of(
+        lambda: wfa_forward_pallas2(dp, dt, dpl, dtl, cfg=cfg, packed=True),
+        repeats=3, warmup=False)
     recs = np.asarray(out["step_records"])
     return best, recs[:, cfg.max_score + 3].astype(np.int32)
 

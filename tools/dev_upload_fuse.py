@@ -13,6 +13,7 @@ import sys
 import time
 
 import numpy as np
+from tools import _timing as T  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 
@@ -56,11 +57,7 @@ def main(n=20000):
         return db
 
     for name, fn in (("four-arrays", four), ("one-buffer", one)):
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
+        best = T.best_of(fn, repeats=5)
         print(f"{name}: best {best*1e3:.1f} ms", flush=True)
 
     # End-to-end answer: api.align with the fused transport on vs off
@@ -71,11 +68,9 @@ def main(n=20000):
     for flag in ("0", "1"):
         os.environ["AIM_TPU_FUSED_UPLOAD"] = flag
         align(pats, txts, plens, tlens, cfg)  # compile + steady state
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = align(pats, txts, plens, tlens, cfg)
-            best = min(best, time.perf_counter() - t0)
+        best = T.best_of(lambda: align(pats, txts, plens, tlens, cfg),
+                         repeats=3, block=False, warmup=False)
+        r = align(pats, txts, plens, tlens, cfg)
         print(f"align fused={flag}: best {best*1e3:.1f} ms "
               f"({n/best:.0f} pairs/s, load {r.t_load*1e3:.1f} ms)",
               flush=True)

@@ -18,6 +18,7 @@ from aim_tpu.config import derive_config  # noqa: E402
 from aim_tpu.ops.common import pack_seqs  # noqa: E402
 from aim_tpu.ops.wfa_pallas2 import wfa_forward_pallas2  # noqa: E402
 from tests.util import cigar_of  # noqa: E402
+from tools import _timing as T  # noqa: E402
 
 DATASET = "/root/reference/Datasets/sample-l100-e1-40K"
 
@@ -41,14 +42,10 @@ def main():
         dpl = jax.device_put(pl_[:m].astype(np.int32))
         dtl = jax.device_put(tl_[:m].astype(np.int32))
         jax.block_until_ready((dp, dt, dpl, dtl))
-        out = fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
+        thunk = lambda: fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
+        best = T.best_of(thunk, repeats=3)
+        out = thunk()
         jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn(dp, dt, dpl, dtl, cfg=cfg, packed=packed)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
         return out, best
 
     # ---- equality: v2 vs oracle on the real dataset ----

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from tools import _timing as T  # noqa: E402
 
 I32 = jnp.int32
 
@@ -44,13 +45,7 @@ def _mk(kernel, reps, out_shape=(8, 128), dtype=I32, n_in=1,
 
 
 def _time(fn, *args):
-    fn(*args)  # compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return T.best_of(lambda: fn(*args), repeats=3)
 
 
 def probe(name, build, reps_lo=64, reps_hi=512):
