@@ -559,8 +559,20 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         side_ref[s2] = side_pack(jnp.where(allnull, 1, lo),
                                  jnp.where(allnull, -1, hi_), newf)
         if "diag" in _ABLATE:
-            diag = diag + jnp.stack([jnp.int32(1), ext_rounds,
-                                     jnp.maximum(c_hi2 - c_lo2 + 1, 0)])
+            # [3]: max live band width over pairs+steps (sizes the
+            # sliding-window kernel's lane budget); [4]: sum of widths
+            # (mean width = [4]/[0])
+            w_now = jnp.max(jnp.where(
+                jnp.broadcast_to(m_null, (P, 128)), 0,
+                jnp.broadcast_to(kh - kl + 1, (P, 128))))
+            w_sum = jnp.max(jnp.where(
+                jnp.broadcast_to(m_null, (P, 128)), 0,
+                jnp.broadcast_to(kh - kl + 1, (P, 128))))
+            diag = diag + jnp.stack(
+                [jnp.int32(1), ext_rounds,
+                 jnp.maximum(c_hi2 - c_lo2 + 1, 0),
+                 jnp.maximum(w_now - diag[3], 0),  # running max via +delta
+                 w_sum])
         return s2, active.astype(I32), scores, diag
 
     def fwd_cond(state):
@@ -570,7 +582,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     s_end, active_i, scores, diag = jax.lax.while_loop(
         fwd_cond, fwd_body,
         (jnp.int32(0), jnp.ones((P, 1), I32), jnp.zeros((P, 1), I32),
-         jnp.zeros((3,), I32)))
+         jnp.zeros((5,), I32)))
     scores = jnp.where(active_i > 0, smax + 1, scores)
     # Drain outstanding spills before the backtrace reads the history.
     # (dev ablation: no spills were started, so nothing to drain)
@@ -603,7 +615,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     if "diag" in _ABLATE:
         # rows 0..2 of pair 0: steps, extend rounds, live compute chunks
         pio = jax.lax.broadcasted_iota(I32, (P, SRp), 0)
-        for j in range(3):
+        for j in range(5):
             recs = jnp.where((pio == 0) & (cio == j), diag[j], recs)
 
     if not cfg.backtrace or "backtrace" in _ABLATE or "diag" in _ABLATE:

@@ -51,11 +51,13 @@ def main():
     tot = np.zeros(3, np.int64)
     for t0 in range(0, n, P):
         steps, extr, livec = recs[t0, 0], recs[t0, 1], recs[t0, 2]
+        wmax, wsum = recs[t0, 3], recs[t0, 4]
         tot += (steps, extr, livec)
         print(f"  tile@{t0:5d}: steps={steps:5d} ext_rounds={extr:6d} "
               f"live_chunks={livec:7d} "
               f"(avg {extr / max(steps, 1):.2f} rounds/step, "
-              f"{livec / max(steps, 1):.2f} of {NC} chunks/step)")
+              f"{livec / max(steps, 1):.2f} of {NC} chunks/step, "
+              f"band wmax={wmax} wmean={wsum / max(steps, 1):.1f})")
     nt = max(1, (n + P - 1) // P)
     print(f"  mean/tile: steps={tot[0] / nt:.0f} ext_rounds={tot[1] / nt:.0f}"
           f" live_chunks={tot[2] / nt:.0f}")
