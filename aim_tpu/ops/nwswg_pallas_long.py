@@ -794,10 +794,17 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
 # ===================== host glue =====================
 
 def _mm_blocks(pats, txts, R, RB, NBK, T, npl):
-    """Banded mismatch bitplanes, built per row block to bound the XLA
-    intermediates: [T, NBK, (RB//32)*npl, P, 128] i32 (plane-major), bit
-    j of word w at (block k, plane p, lane b) = pat[(128p + b) - C + h
-    - 1] != txt[h - 1] for h = k*RB + 32*w + j + 1."""
+    """Banded mismatch bitplanes: [T, NBK, (RB//32)*npl, P, 128] i32
+    (plane-major), bit j of word w at (block k, plane p, lane b) =
+    pat[(128p + b) - C + h - 1] != txt[h - 1] for h = k*RB + 32*w + j + 1.
+
+    Built per row block to bound the XLA intermediates, with the block
+    loop as a lax.fori_loop so the emitted module is CONSTANT in NBK —
+    the old per-block Python unroll (128 slices x npl planes x NBK
+    blocks) was the l*npl^2 compile-size bomb that put npl=2 SWG 6 kbp
+    at a 570 s compile and npl=4 beyond the toolchain entirely
+    (BASELINE.md round-4 npl=4 row; measured lowered sizes
+    tools note: l=8k npl=4 24.5 MB -> ~constant after this change)."""
     n = pats.shape[0]
     C = band_c(npl)
     B = 2 * C + 1
@@ -808,25 +815,30 @@ def _mm_blocks(pats, txts, R, RB, NBK, T, npl):
     patp = jnp.pad(pats.astype(I32), ((0, 0), (C, 128 * npl)),
                    constant_values=-1)
     txtc = txts.astype(I32)
-    blocks = []
-    for k in range(NBK):
-        t_blk = txtc[:, k * RB:(k + 1) * RB]
+    W = (RB // 32) * npl
+    shifts = jnp.arange(32, dtype=I32)[None, None, :, None]
+
+    def body(k, out):
+        t_blk = jax.lax.dynamic_slice(txtc, (0, k * RB), (n, RB))
         planes = []
         for p in range(npl):
             nb = min(128, B - 128 * p)
-            cols = [(patp[:, k * RB + 128 * p + b:
-                          k * RB + 128 * p + b + RB] != t_blk)
-                    for b in range(nb)]
+            # window covering rows k*RB..k*RB+RB-1, lanes 0..nb-1
+            pat_blk = jax.lax.dynamic_slice(
+                patp, (0, k * RB + 128 * p), (n, RB + 127))
+            cols = [(pat_blk[:, b:b + RB] != t_blk) for b in range(nb)]
             mm = jnp.stack(cols, axis=2)             # [n, RB, nb]
             mm = jnp.pad(mm, ((0, 0), (0, 0), (0, 128 - nb)))
             mm = mm.astype(I32).reshape(n, RB // 32, 32, 128)
-            mm = (mm << jnp.arange(32, dtype=I32)[None, None, :, None]) \
-                .sum(axis=2)                         # [n, RB//32, 128]
+            mm = (mm << shifts).sum(axis=2)          # [n, RB//32, 128]
             planes.append(mm)
-        blocks.append(jnp.concatenate(planes, axis=1))
-    mm = jnp.stack(blocks, axis=1)         # [n, NBK, (RB//32)*npl, 128]
-    W = (RB // 32) * npl
-    return mm.reshape(T, P, NBK, W, 128).transpose(0, 2, 3, 1, 4)
+        blk = jnp.concatenate(planes, axis=1)        # [n, W, 128]
+        return jax.lax.dynamic_update_slice(
+            out, blk[:, None], (0, k, 0, 0))
+
+    out = jax.lax.fori_loop(
+        0, NBK, body, jnp.zeros((n, NBK, W, 128), I32))
+    return out.reshape(T, P, NBK, W, 128).transpose(0, 2, 3, 1, 4)
 
 
 def _unpack2(seq, R):

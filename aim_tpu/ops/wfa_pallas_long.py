@@ -161,7 +161,7 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
     CW = _CW  # scan window: CW words = wb*CW bases per round
     C0 = smax // wb + 1  # offset making wb*C0 - k >= 0 for all diagonals
 
-    def extend(slot_m, act_nm, kl, kh):
+    def extend(slot_m, act_nm, kl, kh, c_lo, c_hi, any_act):
         """First-mismatch extension of offsets m on each live diagonal
         (ref: wfa.c:193-215), as one while-loop of CW-word scan rounds
         PER 128-lane k-chunk (no cross-chunk lockstep state: the old
@@ -201,8 +201,16 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             qp = qt + qoff
             t_lo = jnp.min(jnp.where(act, qt, BIG))
             t_hi = jnp.max(jnp.where(act, qt, -BIG)) + CW - 1
-            p_lo = jnp.min(jnp.where(act, qp, BIG)) + 1
-            p_hi = jnp.max(jnp.where(act, qp, -BIG)) + CW
+            # pattern window derived from the text window: qoff is
+            # lane-constant with a STATIC per-chunk range, so the p
+            # reductions (one scalar-sync group per round) are free.
+            # Superset windows only widen block fetches; fetched words
+            # for non-active lanes are masked, records unchanged.
+            kv_lo, kv_hi = 128 * c - smax, 128 * c - smax + 127
+            qo_min = (-kv_hi) // wb   # python // floors: == floor(-kv/wb)
+            qo_max = (-kv_lo) // wb
+            p_lo = t_lo + qo_min + 1
+            p_hi = (t_hi - (CW - 1)) + qo_max + CW
             tws = gather_chunk(txtw_ref, qt, CW,
                                jnp.clip(t_lo >> 7, 0, NB - 1),
                                jnp.clip(t_hi >> 7, 0, NB - 1))
@@ -263,19 +271,29 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
             ring_m[slot_m, :, sel] = m2.astype(I16)
             return nr
 
-        nround_tot = jnp.int32(0)
-        for c in range(NC):
+        # Chunk gating by the precomputed scalar band window (the same
+        # [c_lo, c_hi] the reduce/exit passes use) — the old per-chunk
+        # occupancy check cost a fresh (P,128)->scalar max + cond sync
+        # for ALL NC chunks every step.  A windowed chunk with no truly
+        # active lane still runs chunk_loop, but its while-loop body
+        # never executes (cont starts all-zero) and the ring write-back
+        # is an identity, so records are unchanged.
+        def ext_chunk(c):
             sel = slice(128 * c, 128 * (c + 1))
             mc0 = ring_m[slot_m, :, sel].astype(I32)
             kv = lio128 + (128 * c - smax)
             do_c = act_nm & (kl <= kv) & (kv <= kh) \
                 & (mc0 >= 0) & (mc0 < R + 2)
+            return chunk_loop(slot_m, do_c, c)
+
+        nround_tot = jnp.int32(0)
+        for c in range(NC):
             if NC == 1:
-                nr = chunk_loop(slot_m, do_c, c)
+                nr = ext_chunk(c)
             else:
                 nr = jax.lax.cond(
-                    jnp.max(do_c.astype(I32)) > 0,
-                    lambda do_c=do_c, c=c: chunk_loop(slot_m, do_c, c),
+                    any_act & (c >= c_lo) & (c <= c_hi),
+                    functools.partial(ext_chunk, c),
                     lambda: jnp.int32(0))
             nround_tot = nround_tot + nr
         return nround_tot
@@ -313,13 +331,24 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
         exists = (fl & 1) == 1
         m_null = ~exists | (((fl >> 1) & 1) == 1)
 
+        # Live chunk window of the CURRENT band [kl, kh] (union over
+        # non-null pairs), shared by extend and the reduce/exit passes.
+        kl_u = jnp.min(jnp.where(m_null, BIG,
+                                 jnp.broadcast_to(kl, (P, 128))))
+        kh_u = jnp.max(jnp.where(m_null, -BIG,
+                                 jnp.broadcast_to(kh, (P, 128))))
+        c_lo1 = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
+        c_hi1 = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
+        band_nonempty = kl_u <= kh_u
+
         # extend masks per chunk internally (active & ~m_null & in-band
         # & offset-in-range) and writes the extended offsets straight
         # back into ring_m[slot_m1]; untouched lanes keep their values
         if "extend" in _ABLATE:
             ext_rounds = jnp.int32(0)
         else:
-            ext_rounds = extend(slot_m1, active & ~m_null, kl, kh)
+            ext_rounds = extend(slot_m1, active & ~m_null, kl, kh,
+                                c_lo1, c_hi1, band_nonempty)
         # spill score s to the HBM history (post-extend m; i/d unchanged)
         if "spill" not in _ABLATE:
             pltpu.make_async_copy(ring_m.at[slot_m1], hist_ref.at[0, s],
@@ -328,17 +357,6 @@ def _wfa_long_kernel(cfg: AlignConfig, P: int, Kp: int, Wp: int, SRp: int,
                                   semie.at[slot_e1, 0]).start()
             pltpu.make_async_copy(ring_d.at[slot_e1], hist_ref.at[2, s],
                                   semie.at[slot_e1, 1]).start()
-
-        # Live chunk window of the CURRENT band [kl, kh] (union over
-        # non-null pairs) — the reduce/exit-check passes below only touch
-        # those chunks (the full-Kp plane work here was ~1/3 of the step
-        # cost at 10 kbp with a 1-2 chunk live band).
-        kl_u = jnp.min(jnp.where(m_null, BIG,
-                                 jnp.broadcast_to(kl, (P, 128))))
-        kh_u = jnp.max(jnp.where(m_null, -BIG,
-                                 jnp.broadcast_to(kh, (P, 128))))
-        c_lo1 = jnp.clip((kl_u + smax) >> 7, 0, NC - 1)
-        c_hi1 = jnp.clip((kh_u + smax) >> 7, 0, NC - 1)
 
         def chunk_dist(c):
             """Chunk-local (kv, offset, distance-to-go, in-band mask)."""
