@@ -293,17 +293,18 @@ _RETRY_DISABLED = set()      # plane counts whose retry tier failed
 def _retry_stages(fwd) -> tuple:
     """Escalation ladder for the band-retry tier: plane counts tried in
     ascending order on still-flagged pairs (band half-width
-    C = 64*planes - 1).  Default is the TPU-validated wide band (2);
-    AIM_TPU_RETRY_PLANES (e.g. "2,4") opts into further stages — the
-    kernel is plane-generic, each stage doubles the certified-score
-    envelope.  Stages not wider than the PRIMARY tier's band
-    (fwd.primary_planes, e.g. GenASM k>124 already runs npl=2) are
-    dropped: re-running the width that just flagged the pair is a
+    C = 64*planes - 1).  Default "2,4": both stages are TPU-validated
+    exact (npl=4 SWG l=12 kbp compiles in ~8 s and certifies after the
+    round-5 _mm_blocks compile-size fix; it was a >50-min/SIGKILL
+    ceiling before).  AIM_TPU_RETRY_PLANES overrides.  Stages not wider
+    than the PRIMARY tier's band (fwd.primary_planes — GenASM k>124 and
+    admission-routed NW/SWG configs already start wider) are dropped:
+    re-running the width that just flagged the pair is a
     guaranteed-futile device dispatch.  Malformed tokens are warned
     about, not silently swallowed."""
     if getattr(fwd, "retry_fn", None) is None:
         return ()
-    raw = os.environ.get("AIM_TPU_RETRY_PLANES", "2")
+    raw = os.environ.get("AIM_TPU_RETRY_PLANES", "2,4")
     stages = set()
     for tok in raw.split(","):
         tok = tok.strip()

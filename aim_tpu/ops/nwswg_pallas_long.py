@@ -109,6 +109,53 @@ def long_fit_nwswg(cfg: AlignConfig) -> bool:
     return 2 <= cfg.read_size <= 16352
 
 
+def route_planes(cfg: AlignConfig, max_planes: int = 4) -> int:
+    """Admission routing for the streamed tier: the smallest plane count
+    whose certified envelope covers the PREDICTED p90 score, so a config
+    whose e*l puts most pairs past the C=63 primary band skips the
+    doomed npl=1 pass (round-4 data: SWG 8 kbp e=1% flagged 98% of
+    pairs on npl=1 and paid that dispatch before every npl=2 retry).
+
+    Prediction model = the reference dataset generator's planted-error
+    semantics (aim_tpu.datagen, mirroring the WFA generate_dataset):
+    exactly wrong = ceil(e*l) edits, type uniform over {mismatch,
+    insertion, deletion}.  The launcher derives MAX_SCORE =
+    ceil(wrong * max_cost) (config.derive_config), so wrong =
+    max_score / max_cost and the expected score is wrong * avg planted
+    cost — measured: SWG 8 kbp e=1% median 345 vs predicted 347.  A
+    1.1x margin covers the p90, and |kend| ~ skellam spread of the
+    planted indels.  Mis-prediction is performance-only: every plane
+    count re-derives its own exactness flags, so outputs are
+    byte-identical regardless of the route (flagged pairs escalate up
+    the ladder / host oracle exactly as before).
+
+    AIM_TPU_ROUTE=0 disables routing (primary stays npl=1)."""
+    import math
+    import os
+    if os.environ.get("AIM_TPU_ROUTE", "1") == "0":
+        return 1
+    if cfg.algo == ALGO_NW:
+        max_cost = max(cfg.mismatch, cfg.gap_i + cfg.gap_d)
+        avg_cost = (cfg.mismatch + cfg.gap_i + cfg.gap_d) / 3.0
+    else:
+        max_cost = max(cfg.mismatch, cfg.gap_o + cfg.gap_e)
+        avg_cost = (cfg.mismatch + 2 * (cfg.gap_o + cfg.gap_e)) / 3.0
+    wrong = cfg.max_score / max(max_cost, 1)
+    s_p90 = int(math.ceil(1.1 * wrong * avg_cost))
+    kend_est = int(math.ceil(2.5 * math.sqrt(2.0 * wrong / 3.0)))
+    for p in (1, 2, 4):
+        if p > max_planes:
+            break
+        C = band_c(p)
+        if cfg.algo == ALGO_NW:
+            dmax = s_p90 // (cfg.gap_i + cfg.gap_d)
+        else:
+            dmax = max(0, s_p90 - 2 * cfg.gap_o) // (2 * cfg.gap_e) + 1
+        if dmax + kend_est + 1 <= C:
+            return p
+    return min(4, max_planes)
+
+
 def hbm_per_pair(cfg: AlignConfig) -> int:
     """Per-pair HBM bytes while a batch is in flight: the streamed
     mismatch planes (16R), code blocks (32R NW / 64R SWG), is-match

@@ -112,16 +112,8 @@ def forward_fn(cfg: AlignConfig, packed_ok: bool = True):
 
         # Long-read tier: direction codes streamed through HBM by the
         # grid pipeline (the DPU-MRAM analogue, NW/DPU-MRAM/dpu/nw.c).
-        from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
-                                                   long_fit_nwswg,
-                                                   nwswg_forward_pallas_long)
-
-        if long_fit_nwswg(cfg):
-            def fn(*args, **kw):
-                return nwswg_forward_pallas_long(*args, **kw)
-
-            fn.hbm_per_pair = hbm_per_pair(cfg)
-            _attach_wide_retry(fn, cfg)
+        fn = long_fit_nwswg_routed(cfg)
+        if fn is not None:
             return fn
     if cfg.algo == ALGO_SWG:
         from aim_tpu.ops.swg_pallas import (swg_forward_pallas, swg_int8_sound,
@@ -144,18 +136,39 @@ def forward_fn(cfg: AlignConfig, packed_ok: bool = True):
 
         # Long-read tier (int16 cells only — the MRAM-variant widths,
         # SWG/DPU-MRAM/dpu/swg.c; int8 wrap semantics stay on XLA).
-        from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
-                                                   long_fit_nwswg,
-                                                   nwswg_forward_pallas_long)
-
-        if long_fit_nwswg(cfg):
-            def fn(*args, **kw):
-                return nwswg_forward_pallas_long(*args, **kw)
-
-            fn.hbm_per_pair = hbm_per_pair(cfg)
-            _attach_wide_retry(fn, cfg)
+        fn = long_fit_nwswg_routed(cfg)
+        if fn is not None:
             return fn
     return None
+
+
+def long_fit_nwswg_routed(cfg: AlignConfig):
+    """NW/SWG streamed long tier with admission routing: the primary
+    pass runs at route_planes(cfg) planes, so configs whose e*l
+    prediction puts the median pair past the C=63 band (round-4 data:
+    98% of SWG 8 kbp e=1% pairs) skip the doomed npl=1 dispatch.
+    primary_planes makes api._retry_stages drop ladder stages that are
+    not wider.  Outputs are route-invariant: every plane count
+    re-derives its own exactness flags."""
+    from aim_tpu.ops.nwswg_pallas_long import (hbm_per_pair,
+                                               long_fit_nwswg,
+                                               nwswg_forward_pallas_long,
+                                               route_planes)
+
+    if not long_fit_nwswg(cfg):
+        return None
+    p0 = route_planes(cfg)
+
+    def fn(*args, **kw):
+        kw.setdefault("planes", p0)
+        return nwswg_forward_pallas_long(*args, **kw)
+
+    # plane buffers scale with npl; score/flag terms don't — scale the
+    # conservative per-pair figure by the routed plane count
+    fn.hbm_per_pair = p0 * hbm_per_pair(cfg)
+    fn.primary_planes = p0
+    _attach_wide_retry(fn, cfg)
+    return fn
 
 
 def _attach_wide_retry(fn, cfg):

@@ -538,15 +538,16 @@ def test_retry_wide_chunking_and_skip_host_logic():
 
 def test_retry_stages_env_parsing(monkeypatch):
     """The escalation ladder is env-configurable (AIM_TPU_RETRY_PLANES);
-    default is the single TPU-validated wide stage (2); nonsense values
-    fall back; a fwd without a retry tier gets no stages."""
+    default is the full TPU-validated ladder (2, 4) since the round-5
+    compile-size fix; nonsense values fall back; a fwd without a retry
+    tier gets no stages."""
     from aim_tpu import api
 
     class F:
         retry_fn = staticmethod(lambda *a, **k: None)
 
     monkeypatch.delenv("AIM_TPU_RETRY_PLANES", raising=False)
-    assert api._retry_stages(F()) == (2,)
+    assert api._retry_stages(F()) == (2, 4)
     monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,4")
     assert api._retry_stages(F()) == (2, 4)
     monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "bogus")
@@ -730,3 +731,67 @@ def test_wfa_long_scan_window_is_pure_perf_knob(monkeypatch):
     # and the two layouts agree with each other on the step records
     assert np.array_equal(recs[8], brecs[8]), \
         "packed-mode records diverge from bytes-mode"
+
+
+def test_admission_routing_streamed_tier(monkeypatch):
+    """Configs whose e*l prediction puts the median pair past the C=63
+    band route their PRIMARY streamed pass to a wider plane count
+    (VERDICT r4 item 4: SWG 8 kbp e=1% flagged 98% on npl=1 and paid
+    that doomed dispatch before every retry).  Routing is perf-only —
+    every plane count re-derives its own exactness flags."""
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.nwswg_pallas_long import route_planes
+    from aim_tpu.ops.pallas_kernels import long_fit_nwswg_routed
+
+    swg8 = derive_config("swg", 8000, 0.01, backtrace=True, variant="hbm")
+    swg4 = derive_config("swg", 4000, 0.01, backtrace=True, variant="hbm")
+    swg12 = derive_config("swg", 12000, 0.01, backtrace=True,
+                          variant="hbm")
+    nw8 = derive_config("nw", 8000, 0.01, backtrace=True, variant="hbm")
+    # planted-error model (datagen semantics): SWG e=1% median score
+    # ~0.86*max_score — measured 345 at 8 kbp (smax 400), so 8 kbp needs
+    # the C=255 band, 4 kbp the C=127 one; a 2 kbp run fits C=63; NW's
+    # cheaper per-edit costs keep 8 kbp on the primary band
+    swg2 = derive_config("swg", 2000, 0.01, backtrace=True, variant="hbm")
+    assert route_planes(swg8) == 4
+    assert route_planes(swg4) == 2
+    assert route_planes(swg12) == 4
+    assert route_planes(swg2) == 1
+    assert route_planes(nw8) == 1
+
+    # the routed plane count is wired as the primary tier's planes and
+    # primary_planes (so the retry ladder drops not-wider stages)
+    fn = long_fit_nwswg_routed(swg8)
+    assert fn is not None and fn.primary_planes == 4
+    fn1 = long_fit_nwswg_routed(swg2)
+    assert fn1 is not None and fn1.primary_planes == 1
+
+    # kill switch
+    monkeypatch.setenv("AIM_TPU_ROUTE", "0")
+    assert route_planes(swg8) == 1
+
+    # routed primary is exact on a tiny geometry (interpret mode):
+    # same outputs as the explicit npl=1 run for unflagged pairs
+    import jax
+    import numpy as np
+    from aim_tpu.ops.nwswg_pallas_long import nwswg_forward_pallas_long
+    monkeypatch.delenv("AIM_TPU_ROUTE", raising=False)
+    rng = random.Random(17)
+    pairs = [make_pair(rng, 40, 40, rng.randrange(0, 26)) for _ in range(8)]
+    pats, txts, pl_, tl_ = pack(pairs, 48)
+    cfg = AlignConfig(algo="swg", read_size=48, max_score=260, match=0,
+                      mismatch=3, gap_o=4, gap_e=1, backtrace=True,
+                      variant="hbm")
+    assert route_planes(cfg) >= 2
+    o1 = nwswg_forward_pallas_long(pats, txts, pl_, tl_, cfg=cfg,
+                                   planes=1, interpret=True)
+    o2 = nwswg_forward_pallas_long(pats, txts, pl_, tl_, cfg=cfg,
+                                   planes=2, interpret=True)
+    r1 = np.asarray(o1["packed_runs"])
+    r2 = np.asarray(o2["packed_runs"])
+    ok1 = ((r1[:, 0].astype(np.int32) >> 8) & 1) == 0
+    ok2 = ((r2[:, 0].astype(np.int32) >> 8) & 1) == 0
+    # npl=2 certifies at least what npl=1 did, and agrees where both do
+    assert (ok1 <= ok2).all()
+    both = ok1 & ok2
+    np.testing.assert_array_equal(r1[both, 1], r2[both, 1])
