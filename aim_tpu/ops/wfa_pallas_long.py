@@ -59,15 +59,21 @@ OP_M, OP_X, OP_I, OP_D = 0, 1, 2, 3
 _ABLATE = set()  # dev-only stage kill-switches (tools/dev_long_ablate.py)
 # Extend scan-window words per round.  TPU-tuned (tools/dev_cw_sweep.py,
 # round 4): the chunk while-loop rides the MAX match run over P*128
-# lanes (~10 rounds/step at l=10 kbp, tools/dev_long_diag.py), so the
-# per-round fixed cost (4 scalar reductions + loop overhead) matters;
-# 8 words = 112 bases/round halves the rounds: ~90 vs ~110 us/pair
-# steady-state against 4 words at l=10 kbp (62 best-observed; CW=10
-# measured equal to 8 in an interleaved A/B; records bit-identical at
-# CW in 4..12 — CW is purely a performance knob).  Keeping the
-# per-round window reductions is deliberate: a scalar-ratchet variant
-# without them measured WORSE, because shrinking windows as lanes
-# finish saves more gather blocks than the reductions cost.
+# lanes (~5.3 rounds/step at l=10 kbp with CW=8, tools/dev_long_diag.py),
+# so the per-round fixed cost (scalar-sync reductions + loop overhead)
+# matters; 8 words = 112 bases/round halves the rounds: ~90 vs ~110
+# us/pair steady-state against 4 words at l=10 kbp (62 best-observed;
+# CW=10 measured equal to 8 in an interleaved A/B; records bit-identical
+# at CW in 4..12 — CW is purely a performance knob).  Two measured-WORSE
+# variants, kept OUT (round-4/5 negative results):
+#   * scalar-ratchet (no per-round window reductions): shrinking windows
+#     as lanes finish saves more gather blocks than the reductions cost;
+#   * escalating tail schedule (round 1 at CW, continuation rounds at
+#     2*CW, round-5): 3.6x WORSE at 10 kbp (325 vs 85 us/pair, compile
+#     12 s -> 39 s) — the 2*CWT+1 live gather planes blow Mosaic's
+#     register budget, and even a flat unrolled-round-1 + while variant
+#     (identical schedule, body traced twice) measured 205 us/pair.
+#     The while-only single-width body is load-bearing.
 _CW = 8
 WB = 14         # bases per packed word, 2-bit mode (28 bits: relay-safe)
 WB_BYTES = 3    # bases per word, byte mode (24 bits — arbitrary alphabets;
