@@ -453,6 +453,102 @@ def _mismatch_bitplanes(pats, txts, R, C, L, G, P, T):
     return mm.reshape(T, W32, P, 128)
 
 
+def _mismatch_bitplanes_packed(pk_pats, pk_txts, R, C, L, G, P, T):
+    """Packed-domain twin of _mismatch_bitplanes: inputs are 2-bit
+    packed (ops/common.pack_seqs, 4 bases/byte), compared 16 bases per
+    i32 word via shifted-XOR + even-bit compaction — no device-side
+    unpack (whose computed-operand fusion cost a measured +0.023-0.028
+    us/pair on the NW/SWG marginals, round-4/5 A/B), and the column
+    stack/transpose runs on W32 packed words instead of R bools.
+
+    Semantics equal the raw builder wherever the kernel can look:
+      * out-of-range pattern indices (p_idx < 0 or >= R), which the raw
+        builder forces to mismatch via its -1 pad, are forced by STATIC
+        per-column masks here (the affected h bits are a per-column
+        constant count at each end);
+      * pad-vs-real comparisons inside [plen, R) may differ (the 2-bit
+        recode can alias the zero pad with symbol 0), but those cells
+        are invisible: the kernels' valid masks exclude v > plens, and
+        the walk's match-run scan is capped at min(vcur, hcur) before
+        any such bit is consumed (same argument that already covers the
+        raw builder's pad-vs-pad matches).
+    """
+    n = pk_pats.shape[0]
+    B = 2 * C + 1
+    W32 = (R + 31) // 32
+    Wq = (R + 15) // 16          # 16-base i32 words covering h < R
+    NQ = C // 16 + 1             # left pad words (p_idx down to -C)
+
+    def words32(pk, left_pad, right_need):
+        """[n, bytes] u8 (4 bases/byte) -> [n, words] i32, 16 bases/word,
+        base 16m+j at bits 2j; zero-padded both sides."""
+        nb = pk.shape[1]
+        need_b = 4 * (left_pad + right_need)
+        width = 4 * left_pad + nb
+        target = -(-max(width, need_b) // 4) * 4   # multiple of 4 bytes
+        pkp = jnp.pad(pk, ((0, 0), (4 * left_pad, target - width)))
+        w = pkp[:, 0::4].astype(I32)
+        w = w | (pkp[:, 1::4].astype(I32) << 8)
+        w = w | (pkp[:, 2::4].astype(I32) << 16)
+        w = w | (pkp[:, 3::4].astype(I32) << 24)
+        return w
+
+    # pattern words padded so column slices [NQ+q16, NQ+q16+Wq+1) exist
+    # for q16 in [-NQ, (B-1-C)//16]; +1 for the funnel's next word
+    PW = words32(pk_pats, NQ, NQ + Wq + (B - 1 - C) // 16 + 2)
+    TW = words32(pk_txts, 0, Wq)[:, :Wq]
+
+    # static per-column force masks (i32 per h-word), precomputed host-side
+    import numpy as np
+    force1 = np.zeros((B, Wq), np.int64)
+    keep = np.zeros((B, Wq), np.int64)
+    hio = np.arange(16)
+    for b in range(B):
+        lo = max(0, C - b)            # h-1 < lo  -> p_idx < 0 -> mismatch
+        hi = R - max(0, b - C)        # h-1 >= hi -> p_idx >= R -> mismatch
+        for m in range(Wq):
+            hm = 16 * m + hio
+            f1 = (hm < lo) | (hm >= hi)
+            k0 = hm < R               # bits beyond R stay 0 (raw pads 0)
+            force1[b, m] = int(((f1 & k0).astype(np.int64)
+                                << hio).sum())
+            keep[b, m] = int((k0.astype(np.int64) << hio).sum())
+
+    M5, M3, MF, MFF, MFFFF = 0x55555555, 0x33333333, 0x0F0F0F0F, \
+        0x00FF00FF, 0x0000FFFF
+
+    cols = []
+    for b in range(B):
+        d = b - C
+        q16, s = d // 16, d % 16      # python floor-div/mod: 0 <= s < 16
+        pw = PW[:, NQ + q16:NQ + q16 + Wq + 1]
+        if s:
+            # int32 >> is arithmetic: mask off the sign-extension of
+            # words whose base-15 code sets bit 31
+            pal = (((pw[:, :Wq] >> (2 * s)) & ((1 << (32 - 2 * s)) - 1))
+                   | (pw[:, 1:Wq + 1] << (32 - 2 * s)))
+        else:
+            pal = pw[:, :Wq]
+        xw = pal ^ TW
+        t = (xw | (xw >> 1)) & M5     # per-base mismatch at even bits
+        t = (t | (t >> 1)) & M3
+        t = (t | (t >> 2)) & MF
+        t = (t | (t >> 4)) & MFF
+        t = (t | (t >> 8)) & MFFFF    # compacted: bit j = base 16m+j
+        f1 = jnp.asarray(force1[b].astype(np.int32))[None, :]
+        kp = jnp.asarray(keep[b].astype(np.int32))[None, :]
+        t = (t | f1) & kp
+        cols.append(t)
+    mm16 = jnp.stack(cols, axis=2)                   # [n, Wq, B]
+    if Wq % 2:
+        mm16 = jnp.pad(mm16, ((0, 0), (0, 1), (0, 0)))
+    mm16 = mm16.reshape(n, (Wq + 1) // 2, 2, B)
+    mm = mm16[:, :, 0, :] | (mm16[:, :, 1, :] << 16)  # [n, W32, B]
+    mm = jnp.pad(mm, ((0, 0), (0, W32 - mm.shape[1]), (0, L - B)))
+    mm = mm.reshape(T, G, P, W32, L).transpose(0, 3, 2, 1, 4)
+    return mm.reshape(T, W32, P, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
 def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
                       interpret: bool = False, packed: bool = False):
@@ -480,11 +576,6 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     check_ovf = (2 * R + 2) * max(cfg.gap_i, cfg.gap_d, cfg.mismatch) \
         > INT16_MAX
 
-    if packed:
-        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
-        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
-
     n_orig = n
     if n % PT:
         padn = round_up(n, PT) - n
@@ -495,7 +586,11 @@ def nw_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         n += padn
 
     T = n // PT
-    mm = _mismatch_bitplanes(pats, txts, R, C, L, G, P, T)
+    # packed inputs feed the packed-domain builder directly — no
+    # device-side unpack (its computed-operand fusion cost a measured
+    # +0.023 us/pair on this marginal)
+    mm = (_mismatch_bitplanes_packed if packed
+          else _mismatch_bitplanes)(pats, txts, R, C, L, G, P, T)
 
     kernel = functools.partial(_nw_kernel, cfg, P, NRL, C, L, G,
                                W32, Q16, DS, check_ovf)

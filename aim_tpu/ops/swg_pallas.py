@@ -66,7 +66,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aim_tpu.config import AlignConfig
 from aim_tpu.ops.band import group_reduce_max, group_reduce_sum, round_up
-from aim_tpu.ops.nw_pallas import (_ctz32, _mismatch_bitplanes, band_half,
+from aim_tpu.ops.nw_pallas import (_ctz32, _mismatch_bitplanes,
+                                   _mismatch_bitplanes_packed, band_half,
                                    group_geom, runs_lanes_nw, scan_rounds)
 
 I32 = jnp.int32
@@ -422,11 +423,6 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
     check_ovf = not (cfg.match >= 0
                      and stored_max + margin <= cmax)
 
-    if packed:
-        shifts = jnp.arange(4, dtype=jnp.uint8) * 2
-        pats = ((pats[:, :, None] >> shifts) & 3).reshape(n, -1)
-        txts = ((txts[:, :, None] >> shifts) & 3).reshape(n, -1)
-
     n_orig = n
     if n % PT:
         padn = round_up(n, PT) - n
@@ -437,7 +433,10 @@ def swg_forward_pallas(pats, txts, plens, tlens, *, cfg: AlignConfig,
         n += padn
 
     T = n // PT
-    mm = _mismatch_bitplanes(pats, txts, R, C, L, G, P, T)
+    # packed inputs feed the packed-domain builder (no device unpack;
+    # see nw_pallas._mismatch_bitplanes_packed)
+    mm = (_mismatch_bitplanes_packed if packed
+          else _mismatch_bitplanes)(pats, txts, R, C, L, G, P, T)
 
     kernel = functools.partial(_swg_kernel, cfg, P, NRL, C, L, G,
                                W32, Q8, DS, check_ovf)

@@ -238,3 +238,43 @@ def test_vmem_randomized_cost_model_fuzz():
         bad += b
         ran += d
     assert bad == 0 and ran >= 2
+
+
+def test_packed_domain_mm_builder_record_identity():
+    """The packed-domain mismatch-plane builder (2-bit words, funnel
+    XOR + even-bit compaction — nw_pallas._mismatch_bitplanes_packed)
+    must produce records identical to the raw-byte path on DNA batches
+    with varied lengths, including empty/one-sided pairs (round 5: it
+    replaced the device unpack whose fusion cost +0.023 us/pair; on TPU
+    the packed marginal now BEATS raw: 0.069 vs 0.092 NW)."""
+    import random
+
+    import numpy as np
+
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.common import pack_seqs
+    from aim_tpu.ops.nw_pallas import nw_forward_pallas
+    from aim_tpu.ops.swg_pallas import swg_forward_pallas
+    from tests.util import make_pair, pack
+
+    rng = random.Random(5)
+    pairs = []
+    for _ in range(64):
+        plen = rng.randrange(1, 100)
+        tlen = max(1, plen + rng.choice([-2, -1, 0, 0, 1]))
+        pairs.append(make_pair(rng, plen, tlen, rng.randrange(0, 8)))
+    pairs += [make_pair(rng, 0, 0, 0), make_pair(rng, 100, 0, 0),
+              make_pair(rng, 0, 64, 0)]
+    for algo, fwd in (("nw", nw_forward_pallas),
+                      ("swg", swg_forward_pallas)):
+        cfg = derive_config(algo, 100, 0.01, backtrace=True)
+        pats, txts, pl_, tl_ = pack(pairs, cfg.read_size)
+        pp, pt, ok = pack_seqs(pats, txts, pl_, tl_, cfg.read_size)
+        assert ok
+        o_raw = np.asarray(fwd(pats, txts, pl_.astype(np.int32),
+                               tl_.astype(np.int32), cfg=cfg,
+                               interpret=True)["packed_runs"])
+        o_pk = np.asarray(fwd(pp, pt, pl_.astype(np.int32),
+                              tl_.astype(np.int32), cfg=cfg,
+                              interpret=True, packed=True)["packed_runs"])
+        np.testing.assert_array_equal(o_raw, o_pk, err_msg=algo)
