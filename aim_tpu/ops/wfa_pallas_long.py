@@ -826,7 +826,11 @@ def long_tile_pairs(cfg: AlignConfig, bytes_mode: bool = False):
         # the chunked forward's [P, 128] term scales with the extend
         # window (2*_CW+1 gather planes live at once, plus ~40 others)
         stack = 15 * P * Kp * 4 + (40 + 2 * _CW + 1) * P * 128 * 4
-        if ring + btb + seqs + side + recs + stack + 2 * 1024 * 1024 \
+        # 3 MiB compiler reserve: at the envelope edge (smax=800,
+        # Kp=1664) the 2 MiB reserve admitted P=64 but Mosaic's real
+        # stack came to 16.59 MiB vs the 16 MiB scoped-vmem limit
+        # (round-5, l=16 kbp probe) — P=48 runs it.
+        if ring + btb + seqs + side + recs + stack + 3 * 1024 * 1024 \
                 < 16 * 1024 * 1024:
             return P
     return None
