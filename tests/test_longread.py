@@ -795,3 +795,23 @@ def test_admission_routing_streamed_tier(monkeypatch):
     assert (ok1 <= ok2).all()
     both = ok1 & ok2
     np.testing.assert_array_equal(r1[both, 1], r2[both, 1])
+
+
+def test_wfa_long_16kbp_admission_fits_vmem():
+    """The envelope edge (l~16 kbp, smax=800, Kp=1664) must admit a
+    tile size whose REAL Mosaic stack fits the 16 MiB scoped-vmem
+    limit: round 5 found P=64 admitted by a 2 MiB reserve while the
+    compiler needed 16.59 MiB (runtime OOM); the 3 MiB reserve routes
+    this config to P=48, which compiles and certifies on TPU
+    (artifacts/sweep_r05.txt)."""
+    from aim_tpu.config import derive_config
+    from aim_tpu.ops.wfa_pallas_long import long_fit, long_tile_pairs
+
+    edge = derive_config("wfa", 16000, 0.01, backtrace=True,
+                         adaptive=True, variant="hbm")
+    assert edge.max_score == 800
+    assert long_fit(edge)
+    assert long_tile_pairs(edge) <= 48
+    mid = derive_config("wfa", 10000, 0.01, backtrace=True,
+                        adaptive=True, variant="hbm")
+    assert long_tile_pairs(mid) == 64   # unchanged by the reserve bump
