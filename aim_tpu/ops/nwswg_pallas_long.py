@@ -960,8 +960,15 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
         out_shape=(bt_shapes + (meta_shape,)) if cfg.backtrace
         else (meta_shape,),
         scratch_shapes=[pltpu.VMEM((7 * npl, P, 128), I32)],
+        # npl=8's working set (7*npl carry scratch + double-buffered
+        # Q-plane code blocks) overflows the default 16 MiB scoped-VMEM
+        # budget by ~0.6 MiB; v5e VMEM is physically larger, so raise
+        # the limit for the widest ladder stage only (measured: 16.56 M
+        # needed at SWG R=576 npl=8).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            **({"vmem_limit_bytes": 24 * 1024 * 1024}
+               if npl >= 8 else {})),
         interpret=interpret,
     )(mm, lens)
     cb, ism, meta = outs if cfg.backtrace else (None, None, outs[0])
@@ -1000,8 +1007,12 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
             pltpu.VMEM((7, P, 128), I32),
             pltpu.VMEM((P, NRL), I32),
         ],
+        # same raised scoped-VMEM budget as the forward at npl=8 (the
+        # walk streams the same Q-plane code blocks back in)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            **({"vmem_limit_bytes": 24 * 1024 * 1024}
+               if npl >= 8 else {})),
         interpret=interpret,
     )(cb, ism, meta, lens)
     return {"packed_runs": runs.reshape(n, NRL)[:n_orig]}
