@@ -293,10 +293,12 @@ _RETRY_DISABLED = set()      # plane counts whose retry tier failed
 def _retry_stages(fwd) -> tuple:
     """Escalation ladder for the band-retry tier: plane counts tried in
     ascending order on still-flagged pairs (band half-width
-    C = 64*planes - 1).  Default "2,4": both stages are TPU-validated
-    exact (npl=4 SWG l=12 kbp compiles in ~8 s and certifies after the
-    round-5 _mm_blocks compile-size fix; it was a >50-min/SIGKILL
-    ceiling before).  AIM_TPU_RETRY_PLANES overrides.  Stages not wider
+    C = 64*planes - 1).  Default "2,4,8": all three stages are
+    TPU-validated exact (npl=4 SWG l=12 kbp certifies after the round-5
+    _mm_blocks compile-size fix; npl=8 / C=511 certifies at SWG l=4 kbp
+    with scores past the npl=4 envelope — the widest stage exists for
+    pairs whose alternative is the ~35 ms/pair-per-4kbp host oracle).
+    AIM_TPU_RETRY_PLANES overrides.  Stages not wider
     than the PRIMARY tier's band (fwd.primary_planes — GenASM k>124 and
     admission-routed NW/SWG configs already start wider) are dropped:
     re-running the width that just flagged the pair is a
@@ -304,7 +306,7 @@ def _retry_stages(fwd) -> tuple:
     about, not silently swallowed."""
     if getattr(fwd, "retry_fn", None) is None:
         return ()
-    raw = os.environ.get("AIM_TPU_RETRY_PLANES", "2,4")
+    raw = os.environ.get("AIM_TPU_RETRY_PLANES", "2,4,8")
     stages = set()
     for tok in raw.split(","):
         tok = tok.strip()

@@ -1022,8 +1022,12 @@ extern "C" void aim_wfa_runs_to_ops(const int16_t *runs, long nrl,
     int begin = max_operations - 1;
     if (scores[i] <= max_score) {
       const int16_t *r = runs + i * nrl;
-      long start = (r[0] & 0xFF) + 1;  // lane 0 = cursor | score << 8
+      // lane 0 = cursor_lo8 | flags << 8 | cursor_hi << 10 (the hi
+      // bits are zero for every NRL <= 256 record, so the historical
+      // 8-bit layout decodes identically)
+      long start = ((r[0] & 0xFF) | (((r[0] >> 10) & 0x1F) << 8)) + 1;
       if (start < 1) start = 1;
+      if (start > nrl) start = nrl;
       long total = 0;
       for (long j = start; j < nrl; ++j) total += r[j] & 0xFFF;
       int pos = max_operations - (int)total;

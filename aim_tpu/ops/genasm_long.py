@@ -32,8 +32,9 @@ from jax import jit
 
 from aim_tpu.config import ALGO_NW, AlignConfig
 
-from aim_tpu.ops.nwswg_pallas_long import (NRL, _nwswg_long_jit, band_c,
-                                           long_fit_nwswg)
+from aim_tpu.ops.nwswg_pallas_long import (_nwswg_long_jit, band_c,
+                                           long_fit_nwswg,
+                                           runs_lanes_long)
 from aim_tpu.ops.nwswg_pallas_long import hbm_per_pair as _nwswg_hbm_per_pair
 
 I16 = jnp.int16
@@ -75,6 +76,7 @@ def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
                           interpret=interpret, packed=packed, npl=npl)
     runs = out["packed_runs"].astype(I32)
     n = runs.shape[0]
+    NRL = runs_lanes_long(_nw_cfg(cfg))
     lane = jnp.arange(NRL, dtype=I32)[None, :]
     score = runs[:, 1:2]
     # bit 9 = SCORE-only uncertainty: a pair whose CIGAR overflowed the
@@ -87,9 +89,13 @@ def _genasm_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     score = jnp.where(half_empty, pl_ + tl_, score)
     runs = jnp.where((lane == 1) & half_empty, score, runs)
 
-    # GenASM overflow: certified score > k -> k+1 with one default-M run
+    # GenASM overflow: certified score > k -> k+1 with one default-M
+    # run.  The rewrite cursor (NRL - 2) uses the lane0 split encoding
+    # (low 8 bits at 0-7, high bits at 10+ — nwswg_pallas_long grammar).
     over = (score > k) & (sflag == 0)
-    over_row = jnp.where(lane == 0, NRL - 2,
+    cur = NRL - 2
+    cur_enc = (cur & 255) | ((cur >> 8) << 10)
+    over_row = jnp.where(lane == 0, cur_enc,
                          jnp.where(lane == 1, k + 1,
                                    jnp.where(lane == NRL - 1,
                                              (OP_M << 12) | 1, 0)))

@@ -25,8 +25,11 @@ it the reference semantics):
     chain), so the VMEM tier's truncated-chain flag is unnecessary: an
     in-row chain cannot exceed the band width, and paths leaving the
     band are already caught by the band flag;
-  * records carry up to 253 runs (NRL = 256; the run cursor still fits
-    the walker's 8-bit field);
+  * records carry up to NRL - 3 runs, NRL in {256, 512, 1024} sized by
+    the config's worst-case certified run count (runs_lanes_long) — at
+    16 kbp e=1% alignments run ~320 runs, past the old fixed-256
+    capacity; the cursor's high bits ride lane0 bits 10+ so flag
+    readers at bits 8/9 are layout-independent;
   * SWG serves the int16-cell (MRAM-variant) configs only: the int8
     WRAM tier does not exist at these sizes in the reference either, and
     the full-width XLA tier keeps the genuine int8 wrap semantics.
@@ -74,8 +77,45 @@ L_M, L_I, L_D = 0, 1, 2                  # SWG walk layers
 P = 128          # pairs per tile (one per sublane row)
 CL = 63          # npl=1 band half-width; B = 2*CL + 1 = 127 <= 128 lanes
 BL = 2 * CL + 1
-NRL = 256        # record lanes (cursor <= 255 fits the walker's 8 bits)
+NRL = 256        # default record lanes (see runs_lanes_long)
 FLAG_FALLBACK = 1
+
+
+def runs_lanes_long(cfg: AlignConfig) -> int:
+    """Record lanes for this config's streamed-tier records: the
+    smallest of {256, 512, 1024} that covers the TRUE worst-case run
+    count of a certified score (every edit event single-base and
+    isolated costs 2 runs and at least the cheapest event cost, so
+    runs <= 2 * max_score / min_event + tails).  256 was a hard
+    ceiling before round 5: at 16 kbp e=1% (~160 planted events, ~320
+    runs) it capacity-flagged pairs whose band certification was fine
+    (the measured 23% NW-16kbp flag rate was exactly the Binomial
+    run-count tail past 253).  Past 1024 lanes the capacity flag still
+    catches the tail honestly (rc < 1 -> needs_fallback).
+
+    Record grammar stays decode-compatible at every size: lane0 keeps
+    the cursor's low 8 bits at bits 0-7 and the flags at bits 8-9;
+    sizes > 256 put the cursor's HIGH bits at bits 10+ (encode:
+    _pack_lane0 here; decode: oracle.cpp aim_wfa_runs_to_ops), so
+    every existing (lane0 >> 8) & 1 flag reader is unchanged."""
+    if cfg.algo == ALGO_NW:
+        min_event = min(cfg.mismatch, cfg.gap_i, cfg.gap_d)
+    else:
+        min_event = min(cfg.mismatch, cfg.gap_o + cfg.gap_e)
+    need = 2 * cfg.max_score // max(min_event, 1) + 8
+    for nrl in (256, 512):
+        if need <= nrl - 3:
+            return nrl
+    return 1024
+
+
+def _pack_lane0(rc, flag_i32, meta_i32, NRL):
+    """lane0 = cursor_lo8 | needs_fallback<<8 | score_unc<<9
+    | cursor_hi<<10 (hi bits zero at NRL <= 256 — the historical
+    layout is the same encoding)."""
+    rcc = jnp.clip(rc, 0, NRL - 1)
+    return (rcc & 255) | (flag_i32 << 8) | (meta_i32 << 9) \
+        | ((rcc >> 8) << 10)
 
 
 def band_c(npl: int) -> int:
@@ -109,7 +149,7 @@ def long_fit_nwswg(cfg: AlignConfig) -> bool:
     return 2 <= cfg.read_size <= 16352
 
 
-def route_planes(cfg: AlignConfig, max_planes: int = 4) -> int:
+def route_planes(cfg: AlignConfig, max_planes: int = 8) -> int:
     """Admission routing for the streamed tier: the smallest plane count
     whose certified envelope covers the PREDICTED p90 score, so a config
     whose e*l puts most pairs past the C=63 primary band skips the
@@ -143,7 +183,7 @@ def route_planes(cfg: AlignConfig, max_planes: int = 4) -> int:
     wrong = cfg.max_score / max(max_cost, 1)
     s_p90 = int(math.ceil(1.1 * wrong * avg_cost))
     kend_est = int(math.ceil(2.5 * math.sqrt(2.0 * wrong / 3.0)))
-    for p in (1, 2, 4):
+    for p in (1, 2, 4, 8):
         if p > max_planes:
             break
         C = band_c(p)
@@ -153,7 +193,7 @@ def route_planes(cfg: AlignConfig, max_planes: int = 4) -> int:
             dmax = max(0, s_p90 - 2 * cfg.gap_o) // (2 * cfg.gap_e) + 1
         if dmax + kend_est + 1 <= C:
             return p
-    return min(4, max_planes)
+    return min(8, max_planes)
 
 
 def hbm_per_pair(cfg: AlignConfig) -> int:
@@ -539,7 +579,7 @@ def _fwd_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, *refs):
 
 # ===================== walk kernel =====================
 
-def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
+def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int, NRL: int,
                  cb_ref, ism_ref, meta_ref, lens_ref,
                  runs_ref, st_ref, racc_ref):
     """One descending row-block of the event-driven traceback.
@@ -829,8 +869,7 @@ def _walk_kernel(cfg: AlignConfig, NBK: int, RB: int, npl: int,
         # its >k overflow rewrite (which discards the CIGAR anyway).
         metaf = jnp.broadcast_to(meta_ref[:, 1:2] > 0, (P, 128))
         flagb = jnp.broadcast_to(flag, (P, 128))
-        lane0 = jnp.clip(rc, 0, 255) | (flagb.astype(I32) << 8) \
-            | (metaf.astype(I32) << 9)
+        lane0 = _pack_lane0(rc, flagb.astype(I32), metaf.astype(I32), NRL)
         out = runs
         out = jnp.where(rl_iota == 0, bval(lane0), out)
         out = jnp.where(rl_iota == 1,
@@ -904,6 +943,7 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     RB = block_rows(algo, npl)
     NBK = _round_up(R, RB) // RB
     RBQ = RB // 16 if algo == ALGO_NW else RB // 8
+    NRL = runs_lanes_long(cfg)
     n = pats.shape[0]
     if packed:
         pats = _unpack2(pats, R)
@@ -976,15 +1016,15 @@ def _nwswg_long_jit(pats, txts, plens, tlens, *, cfg: AlignConfig,
     if not cfg.backtrace:
         scores = meta[:, :, 0].reshape(n)
         flags = meta[:, :, 1].reshape(n)
-        lane0 = jnp.full((n,), NRL - 1, I32) \
-            | ((flags > 0).astype(I32) << 8) \
-            | ((flags > 0).astype(I32) << 9)
+        lane0 = _pack_lane0(jnp.full((n,), NRL - 1, I32),
+                            (flags > 0).astype(I32),
+                            (flags > 0).astype(I32), NRL)
         runs = jnp.zeros((n, NRL), I32)
         runs = runs.at[:, 0].set(lane0)
         runs = runs.at[:, 1].set(jnp.clip(scores, -32768, 32767))
         return {"packed_runs": runs[:n_orig].astype(I16)}
 
-    walk = functools.partial(_walk_kernel, cfg, NBK, RB, npl)
+    walk = functools.partial(_walk_kernel, cfg, NBK, RB, npl, NRL)
     runs = pl.pallas_call(
         walk,
         grid=(T, NBK),

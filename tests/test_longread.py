@@ -360,15 +360,16 @@ def test_genasm_wide_k_interpret():
     rng = random.Random(101)
     R2 = 640
     k = 160
-    # Spread substitutions make ~2d+1 runs (record capacity 253 caps
-    # d ~ 126); a contiguous substituted block is d distance in 3 runs —
-    # how scores past the capacity envelope stay CIGAR-representable.
+    # Spread substitutions make ~2d+1 runs.  Under the fixed 256-lane
+    # records (through round 5) the 150-spread-subs pair (295 runs)
+    # capacity-flagged; runs_lanes_long now sizes GenASM's unit-cost
+    # records to 1024 lanes, so it must be SERVED and byte-exact.
     pairs = [
         _subs_pair(rng, 560, 40),           # certified, in npl=1 range
         _subs_pair(rng, 600, 90),           # certified
         _burst_subs_pair(rng, 580, 150),    # certified, past 124
         _burst_subs_pair(rng, 610, 200),    # > k: overflow rewrite
-        _subs_pair(rng, 590, 150),          # capacity-flagged (295 runs)
+        _subs_pair(rng, 590, 150),          # 295 runs: past the old cap
         _burst_subs_pair(rng, 540, 135),    # certified, past 124
     ]
     pats, txts, pl, tl = pack(pairs, R2)
@@ -385,7 +386,7 @@ def test_genasm_wide_k_interpret():
     osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=k,
                                          backtrace=True)
     ok = ~fb
-    assert list(ok) == [True, True, True, True, False, True]
+    assert list(ok) == [True] * 6
     assert (sc[ok] > 124).any()       # scores past the npl=1 envelope
     assert sc[3] == k + 1             # certified overflow rewrite
     np.testing.assert_array_equal(sc[ok], osc[ok])
@@ -538,8 +539,9 @@ def test_retry_wide_chunking_and_skip_host_logic():
 
 def test_retry_stages_env_parsing(monkeypatch):
     """The escalation ladder is env-configurable (AIM_TPU_RETRY_PLANES);
-    default is the full TPU-validated ladder (2, 4) since the round-5
-    compile-size fix; nonsense values fall back; a fwd without a retry
+    default is the full TPU-validated ladder (2, 4, 8) — npl=4 since
+    the round-5 compile-size fix, npl=8 (C=511) since its round-5 TPU
+    certification; nonsense values fall back; a fwd without a retry
     tier gets no stages."""
     from aim_tpu import api
 
@@ -547,7 +549,7 @@ def test_retry_stages_env_parsing(monkeypatch):
         retry_fn = staticmethod(lambda *a, **k: None)
 
     monkeypatch.delenv("AIM_TPU_RETRY_PLANES", raising=False)
-    assert api._retry_stages(F()) == (2, 4)
+    assert api._retry_stages(F()) == (2, 4, 8)
     monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "2,4")
     assert api._retry_stages(F()) == (2, 4)
     monkeypatch.setenv("AIM_TPU_RETRY_PLANES", "bogus")
@@ -692,6 +694,75 @@ def test_streamed_score_only_interpret():
         assert (so9 <= bt8).all(), algo
 
 
+def test_runs_lanes_sizing_rule():
+    """runs_lanes_long sizes the record plane from the worst-case
+    certified run count (2 * max_score / cheapest-event-cost): small
+    budgets keep the historical 256 lanes; dense-edit budgets get
+    512/1024 so 16 kbp e=1% alignments (~320 runs) stop capacity-
+    flagging (the measured 23% NW-16kbp flag tail of round 5)."""
+    from aim_tpu.ops.nwswg_pallas_long import runs_lanes_long
+    small = AlignConfig(algo="swg", read_size=2048, max_score=300,
+                        backtrace=True, match=0, mismatch=3, gap_o=4,
+                        gap_e=1, variant="hbm")
+    assert runs_lanes_long(small) == 256          # need ~208
+    mid = small.replace(max_score=700)            # need ~474
+    assert runs_lanes_long(mid) == 512
+    nw = AlignConfig(algo="nw", read_size=16352, max_score=300,
+                     backtrace=True, gap_i=1, gap_d=1, mismatch=1)
+    assert runs_lanes_long(nw) == 1024            # unit costs: need ~608
+    nw_cheap = nw.replace(max_score=100)          # need ~208
+    assert runs_lanes_long(nw_cheap) == 256
+
+
+def test_streamed_record_capacity_past_256_interpret():
+    """Alignments whose CIGAR needs >253 runs (the old fixed ceiling)
+    must come back unflagged and byte-exact when the config sizes to a
+    wider record plane — and the >255 run cursor must round-trip the
+    lane0 split encoding (low 8 bits at 0-7, high bits at 10+) through
+    the native expander (oracle.cpp aim_wfa_runs_to_ops)."""
+    from aim_tpu.ops.nwswg_pallas_long import (nwswg_forward_pallas_long,
+                                               runs_lanes_long)
+    rng = np.random.default_rng(41)
+    R, l = 640, 600
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pats = np.zeros((8, R), np.uint8)
+    txts = np.zeros((8, R), np.uint8)
+    for i, nsub in enumerate((140, 180, 200, 240, 140, 180, 200, 240)):
+        p = bases[rng.integers(0, 4, l)]
+        t = p.copy()
+        # isolated substitutions every 2nd base: ~2*nsub+1 CIGAR runs
+        idx = np.arange(0, 2 * nsub, 2)
+        t[idx] = bases[(np.searchsorted(bases, t[idx]) + 1) % 4]
+        pats[i, :l] = p
+        txts[i, :l] = t
+    pl = np.full(8, l, np.int32)
+    tl = np.full(8, l, np.int32)
+    cfg = AlignConfig(algo="nw", read_size=R, max_score=400,
+                      backtrace=True, gap_i=1, gap_d=1, mismatch=1)
+    assert runs_lanes_long(cfg) == 1024
+    out = nwswg_forward_pallas_long(pats, txts, pl, tl, cfg=cfg,
+                                    interpret=True, planes=2)
+    packed = np.asarray(out["packed_runs"])
+    assert packed.shape[1] == 1024
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    assert not fb.any()
+    osc, oops, ob, oe = nat.nw_align(pats, txts, pl, tl, mismatch=1,
+                                     gap_i=1, gap_d=1, backtrace=True)
+    np.testing.assert_array_equal(sc, osc)
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30, max_ops=2 * R + 8)
+    over_256 = 0
+    for i in range(8):
+        c_oracle = cigar_of(oops[i], ob[i], oe[i])
+        assert cigar_of(wops[i], wb[i], we[i]) == c_oracle, i
+        # count RLE runs in the oracle CIGAR: each run is "<len><op>"
+        n_runs = sum(ch > 57 for ch in c_oracle)  # op bytes are letters
+        if n_runs > 253:
+            over_256 += 1
+    assert over_256 >= 4          # the point of the test
+
+
 def test_wfa_long_scan_window_is_pure_perf_knob(monkeypatch):
     """The extend scan window (_CW, TPU-tuned to 8 in round 4) must
     never change results — step records are bit-identical across
@@ -750,12 +821,17 @@ def test_admission_routing_streamed_tier(monkeypatch):
     nw8 = derive_config("nw", 8000, 0.01, backtrace=True, variant="hbm")
     # planted-error model (datagen semantics): SWG e=1% median score
     # ~0.86*max_score — measured 345 at 8 kbp (smax 400), so 8 kbp needs
-    # the C=255 band, 4 kbp the C=127 one; a 2 kbp run fits C=63; NW's
-    # cheaper per-edit costs keep 8 kbp on the primary band
+    # the C=255 band, 4 kbp the C=127 one, and 12/16 kbp the C=511 one
+    # (p90 dmax ~283/378 > 255 — npl=8 TPU-certified in round 5); a
+    # 2 kbp run fits C=63; NW's cheaper per-edit costs keep 8 kbp on
+    # the primary band
     swg2 = derive_config("swg", 2000, 0.01, backtrace=True, variant="hbm")
+    swg16 = derive_config("swg", 16000, 0.01, backtrace=True,
+                          variant="hbm")
     assert route_planes(swg8) == 4
     assert route_planes(swg4) == 2
-    assert route_planes(swg12) == 4
+    assert route_planes(swg12) == 8
+    assert route_planes(swg16) == 8
     assert route_planes(swg2) == 1
     assert route_planes(nw8) == 1
 

@@ -117,13 +117,21 @@ def fourk():
     return bad
 
 
-def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01):
+def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01,
+        smax=None, mis=None):
     """Real-TPU exactness + marginal for the streamed tier.  planes=2
     measures the wide band; min_over asserts some certified score
     exceeds that bound (proof the data really needs the wide band).
     e tunes the substitution rate: the 16 kbp cap row uses 0.007 so SWG
     scores land in (260, 400] — certified npl=4 work, not max_score
-    overflow records."""
+    overflow records.  smax overrides SWG max_score and mis the SWG
+    mismatch cost: the npl=8 probe needs certified scores past the
+    npl=4 envelope (~516), but the walker's 253-run record capacity
+    caps substitution counts near ~126 (synth is substitutions-only:
+    each isolated sub costs two runs), so at x=3 certifiable scores top
+    out at ~378 — the probe raises the per-sub cost instead (x=5:
+    ~113 subs -> score ~565, dmax ~272 > C=255, inside C=511 and the
+    run budget)."""
     import jax
     from aim_tpu.api import _ensure_eager_dispatch
     # Sync-mode flip BEFORE any timed region: in a fresh process (no D2H
@@ -140,9 +148,9 @@ def tpu(l=4000, planes=1, algos=("nw", "swg"), min_over=None, e=0.01):
         cfg = (AlignConfig(algo="nw", read_size=R, max_score=300,
                            backtrace=True, gap_i=1, gap_d=1, mismatch=1)
                if algo == "nw" else
-               AlignConfig(algo="swg", read_size=R, max_score=400,
-                           backtrace=True, match=0, mismatch=3, gap_o=4,
-                           gap_e=1, variant="hbm"))
+               AlignConfig(algo="swg", read_size=R, max_score=smax or 400,
+                           backtrace=True, match=0, mismatch=mis or 3,
+                           gap_o=4, gap_e=1, variant="hbm"))
         for n in (128, 256):
             pats, txts, pl_, tl_ = synth(n, l, e, R, seed=3)
             dp = jax.device_put(pats)
@@ -236,6 +244,33 @@ def fuzz_planes4(seed0=401):
     return bad
 
 
+def fuzz_planes8(seed0=801):
+    """Interpret-mode equality for the npl=8 ladder stage (C=511):
+    multi-block geometry with length skews past the npl=4 band's C=255
+    — only certifiable at 8 planes.  One cost model per algorithm
+    (interpret-mode cost at 8 planes is ~2x the npl=4 run)."""
+    bad = 0
+    for algo, kw, cap in (FUZZ_COST_MODELS[1], FUZZ_COST_MODELS[3]):
+        rng = __import__("random").Random(seed0)
+        pairs = []
+        for i in range(8):
+            lp = rng.randrange(180, 280)
+            # odd pairs: skew past the npl=4 band's C=255 but inside
+            # the npl=8 certification envelope (skew + dmax + 1 <= 511
+            # with dmax ~ skew/2 under these cheap-gap models
+            # => skew <~ 330)
+            skew = rng.randrange(262, 320) if i % 2 else \
+                rng.choice([-1, 0, 1])
+            pairs.append(make_pair(rng, lp, max(1, lp + skew),
+                                   rng.randrange(0, 6)))
+        pats, txts, pl_, tl_ = pack(pairs, 640)
+        cfg = AlignConfig(algo=algo, read_size=640, backtrace=True, **kw)
+        bad += check(cfg, pats, txts, pl_, tl_,
+                     f"{algo}-640-npl8 {kw}", flag_cap=0.5, planes=8)
+    print("FUZZ8", "FAIL" if bad else "OK")
+    return bad
+
+
 def fuzz(seed0=201, n_seeds=2):
     """Interpret-mode cost-model sweep (single-block R=64 and
     multi-block R=576) — the CPU-runnable slice of
@@ -290,10 +325,18 @@ if __name__ == "__main__":
         _pl = int(sys.argv[3]) if len(sys.argv) > 3 else 2
         # prove the data really needed THIS band: certified scores must
         # exceed the previous stage's envelope (~2*C_prev + max_score
-        # terms; 132 is the measured C=63 SWG bound, 260 the C=127 one)
+        # terms; 132 is the measured C=63 SWG bound, 260 the C=127 one,
+        # 516 the C=255 one).  npl=8 probes need max_score past 516 —
+        # raise it to 1200 so in-envelope scores aren't overflow records.
+        _over = {2: 132, 4: 260, 8: 516}.get(_pl, 260)
         tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 6000,
-            planes=_pl, algos=("swg",), min_over=132 if _pl == 2 else 260,
-            e=float(sys.argv[4]) if len(sys.argv) > 4 else 0.01)
+            planes=_pl, algos=("swg",), min_over=_over,
+            e=float(sys.argv[4]) if len(sys.argv) > 4 else 0.01,
+            smax=1200 if _pl >= 8 else None,
+            mis=5 if _pl >= 8 else None)
     elif mode == "fuzz4":
         # interpret-mode equality at npl=4 (C=255), multi-block geometry
         sys.exit(1 if fuzz_planes4() else 0)
+    elif mode == "fuzz8":
+        # interpret-mode equality at npl=8 (C=511), skews past C=255
+        sys.exit(1 if fuzz_planes8() else 0)
