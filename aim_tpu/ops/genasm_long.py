@@ -18,9 +18,11 @@ Exactness: for an UNFLAGGED pair the banded NW score is the true edit
 distance (the band argument of ops/nwswg_pallas_long.py), so both the
 <=k scores and the >k overflow rewrites are certified; flagged pairs
 fall back to the exact host GenASM oracle as usual.  The admission cap
-k <= 252 keeps balanced pairs below the wide band-flag bound
-(dmax = score//2 <= 126 < C=127); k <= 124 serves from the primary
-C=63 band (npl=1) with a wide-band retry for band-flagged pairs.
+k <= 508 keeps balanced pairs below the npl=4 band-flag bound
+(dmax = score//2 + 1 <= 255 = C); the primary band escalates with k
+(k <= 124: C=63, k <= 252: C=127, else C=255 — _npl), with the wider
+ladder stages as retries for band-flagged pairs.  Record capacity
+scales with k too (runs_lanes_long: up to 2k+1 runs at unit costs).
 """
 
 from __future__ import annotations
@@ -49,16 +51,20 @@ def _nw_cfg(cfg: AlignConfig) -> AlignConfig:
 
 
 def _npl(cfg: AlignConfig) -> int:
-    """Static plane count: the k <= 124 envelope runs the primary C=63
-    band; 124 < k <= 252 runs the wide C=127 band (npl=2)."""
-    return 1 if cfg.max_score <= 2 * (band_c(1) - 1) else 2
+    """Static primary plane count: k <= 124 runs the C=63 band;
+    124 < k <= 252 the C=127 band (npl=2); 252 < k <= 508 the C=255
+    band (npl=4, TPU-certified in round 5)."""
+    for p in (1, 2):
+        if cfg.max_score <= 2 * (band_c(p) - 1):
+            return p
+    return 4
 
 
 def long_fit_genasm(cfg: AlignConfig) -> bool:
     """Admission: k small enough that balanced pairs pass the band flag
-    (score//2 + 1 <= C, wide band C=127), sizes within the streamed
-    kernel's range."""
-    return (cfg.max_score <= 2 * (band_c(2) - 1)
+    (score//2 + 1 <= C at the npl=4 band, C=255), sizes within the
+    streamed kernel's range."""
+    return (cfg.max_score <= 2 * (band_c(4) - 1)
             and long_fit_nwswg(_nw_cfg(cfg)))
 
 

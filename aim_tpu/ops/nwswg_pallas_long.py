@@ -87,11 +87,14 @@ def runs_lanes_long(cfg: AlignConfig) -> int:
     count of a certified score (every edit event single-base and
     isolated costs 2 runs and at least the cheapest event cost, so
     runs <= 2 * max_score / min_event + tails).  256 was a hard
-    ceiling before round 5: at 16 kbp e=1% (~160 planted events, ~320
-    runs) it capacity-flagged pairs whose band certification was fine
-    (the measured 23% NW-16kbp flag rate was exactly the Binomial
-    run-count tail past 253).  Past 1024 lanes the capacity flag still
-    catches the tail honestly (rc < 1 -> needs_fallback).
+    ceiling before round 5, binding exactly where the wide bands are
+    supposed to win: NW 16 kbp e=1% pairs past the C=63 band (the
+    measured 23% tail — at unit mismatch cost the band bound score>=126
+    and the run bound nsub>=127 coincide) re-flagged on CAPACITY at
+    npl>=2 (they need ~255+ runs > 253), and SWG 16 kbp e=1%
+    indel-bearing data (~160 planted events, ~320 runs) could never fit
+    a record at any band width.  Past 1024 lanes the capacity flag
+    still catches the tail honestly (rc < 1 -> needs_fallback).
 
     Record grammar stays decode-compatible at every size: lane0 keeps
     the cursor's low 8 bits at bits 0-7 and the flags at bits 8-9;

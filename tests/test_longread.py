@@ -694,12 +694,78 @@ def test_streamed_score_only_interpret():
         assert (so9 <= bt8).all(), algo
 
 
+def test_genasm_k_cap_npl4_boundaries():
+    """The GenASM long-tier admission cap follows the band ladder:
+    k <= 124 -> npl=1, <= 252 -> npl=2, <= 508 -> npl=4 (the npl=4
+    stage is TPU-certified since round 5); 509 is past the npl=4
+    band-flag bound (score//2 + 1 <= 255) and must not be admitted."""
+    from aim_tpu.ops.genasm_long import _npl, long_fit_genasm
+
+    def ga(k):
+        return AlignConfig(algo="genasm", read_size=2048, max_score=k,
+                           backtrace=True)
+    assert _npl(ga(124)) == 1 and _npl(ga(125)) == 2
+    assert _npl(ga(252)) == 2 and _npl(ga(253)) == 4
+    assert long_fit_genasm(ga(508)) and _npl(ga(508)) == 4
+    assert not long_fit_genasm(ga(509))
+
+
+@pytest.mark.slow
+def test_genasm_npl4_past_252_interpret():
+    """GenASM long tier past the old k <= 252 cap: k=270 runs the
+    npl=4 (C=255) band as its primary; distances past 252 (a contiguous
+    substituted burst) certify exactly, and the >k overflow rewrite
+    still applies on the wider records."""
+    from aim_tpu.ops.genasm_long import (_npl, genasm_forward_pallas_long,
+                                         long_fit_genasm)
+    rng = random.Random(103)
+    R2 = 576
+    k = 270
+    # burst distances deflate ~10-15% (shifted alignments through a
+    # burst), so targets carry margin; the oracle preconditions below
+    # assert the data really has the intended shape
+    pairs = [
+        _subs_pair(rng, 560, 30),           # easy, npl=1-grade
+        _burst_subs_pair(rng, 560, 300),    # certified, past 252
+        _burst_subs_pair(rng, 560, 310),    # > k: overflow rewrite
+        _burst_subs_pair(rng, 560, 335),    # > k: overflow rewrite
+    ]
+    pats, txts, pl, tl = pack(pairs, R2)
+    cfg = AlignConfig(algo="genasm", read_size=R2, max_score=k,
+                      backtrace=True, mismatch=1, gap_i=1, gap_d=1,
+                      variant="hbm")
+    assert _npl(cfg) == 4 and long_fit_genasm(cfg)
+    out = genasm_forward_pallas_long(pats, txts, pl.astype(np.int32),
+                                     tl.astype(np.int32), cfg=cfg,
+                                     interpret=True)
+    packed = np.asarray(out["packed_runs"])
+    sc = packed[:, 1].astype(np.int32)
+    fb = ((packed[:, 0].astype(np.int32) >> 8) & 1).astype(bool)
+    osc, oops, ob, oe = nat.genasm_align(pats, txts, pl, tl, max_score=k,
+                                         backtrace=True)
+    # data-shape preconditions (oracle view): pair 1 certified past the
+    # old 252 cap, pairs 2-3 overflow k
+    assert 252 < osc[1] <= k and osc[2] == k + 1 and osc[3] == k + 1
+    ok = ~fb
+    assert list(ok) == [True] * 4
+    assert sc[2] == k + 1 and sc[3] == k + 1   # certified overflow rewrites
+    np.testing.assert_array_equal(sc[ok], osc[ok])
+    wops, wb, we = nat.wfa_runs_to_ops(packed, sc, pl, tl,
+                                       max_score=1 << 30,
+                                       max_ops=2 * cfg.read_size + 8)
+    for i in range(len(pl)):
+        if ok[i]:
+            assert cigar_of(wops[i], wb[i], we[i]) == \
+                cigar_of(oops[i], ob[i], oe[i]), i
+
+
 def test_runs_lanes_sizing_rule():
     """runs_lanes_long sizes the record plane from the worst-case
     certified run count (2 * max_score / cheapest-event-cost): small
     budgets keep the historical 256 lanes; dense-edit budgets get
-    512/1024 so 16 kbp e=1% alignments (~320 runs) stop capacity-
-    flagging (the measured 23% NW-16kbp flag tail of round 5)."""
+    512/1024 so long-read CIGARs past 253 runs (NW 16 kbp band-retry
+    pairs need ~255+, SWG 16 kbp e=1% indel data ~320) stop
+    capacity-flagging on the wide bands that band-certify them."""
     from aim_tpu.ops.nwswg_pallas_long import runs_lanes_long
     small = AlignConfig(algo="swg", read_size=2048, max_score=300,
                         backtrace=True, match=0, mismatch=3, gap_o=4,
@@ -756,8 +822,9 @@ def test_streamed_record_capacity_past_256_interpret():
     for i in range(8):
         c_oracle = cigar_of(oops[i], ob[i], oe[i])
         assert cigar_of(wops[i], wb[i], we[i]) == c_oracle, i
-        # count RLE runs in the oracle CIGAR: each run is "<len><op>"
-        n_runs = sum(ch > 57 for ch in c_oracle)  # op bytes are letters
+        # cigar_of returns the raw op string; RLE runs = op transitions
+        a = np.frombuffer(c_oracle, np.uint8)
+        n_runs = 1 + int((a[1:] != a[:-1]).sum())
         if n_runs > 253:
             over_256 += 1
     assert over_256 >= 4          # the point of the test
